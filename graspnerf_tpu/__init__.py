@@ -23,3 +23,9 @@ sim       host-side simulation/eval harness (transforms, TSDF fusion, clutter
 __version__ = "0.1.0"
 
 from . import ops  # noqa: E402,F401
+from . import models  # noqa: E402,F401
+from . import data  # noqa: E402,F401
+from . import parallel  # noqa: E402,F401
+from . import train  # noqa: E402,F401
+from . import detect  # noqa: E402,F401
+from . import sim  # noqa: E402,F401

@@ -21,6 +21,36 @@ def _ensure_stubs():
 
         m.EasyDict = EasyDict
         sys.modules["easydict"] = m
+    # light stubs for reference-only deps absent in this environment; only
+    # attributes touched at import time need to exist
+    if "plyfile" not in sys.modules:
+        m = types.ModuleType("plyfile")
+        m.PlyData = object
+        sys.modules["plyfile"] = m
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        io = types.ModuleType("skimage.io")
+        io.imread = None
+        io.imsave = None
+        sk.io = io
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = io
+    if "transforms3d" not in sys.modules:
+        t3 = types.ModuleType("transforms3d")
+        ax = types.ModuleType("transforms3d.axangles")
+        ax.mat2axangle = None
+        eu = types.ModuleType("transforms3d.euler")
+        eu.euler2mat = None
+        t3.axangles = ax
+        t3.euler = eu
+        sys.modules["transforms3d"] = t3
+        sys.modules["transforms3d.axangles"] = ax
+        sys.modules["transforms3d.euler"] = eu
+    if "h5py" not in sys.modules:
+        try:
+            import h5py  # noqa: F401
+        except ImportError:
+            sys.modules["h5py"] = types.ModuleType("h5py")
 
 
 def load_reference_nr():
