@@ -1,0 +1,3 @@
+from .transform import Transform, Rotation
+from .world import AnalyticWorld, PybulletWorld, Label
+from . import clutter_removal
