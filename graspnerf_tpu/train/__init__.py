@@ -3,3 +3,4 @@ from .schedule import exp_decay_lr, warmup_exp_decay_lr
 from .checkpoint import CheckpointManager
 from .trainer import (Trainer, TrainState, create_train_state, make_train_step,
                       make_eval_step, make_loss_fn, compute_losses)
+from . import metrics

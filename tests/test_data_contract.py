@@ -1,0 +1,78 @@
+"""Roundtrip test of the vgn_syn file contract: scripts/generate_data.py
+writes a scene tree, data.VGNSynDataset loads trainer batches from it, and the
+poses/depths are geometrically consistent."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vgn_syn")
+    out = subprocess.run(
+        [sys.executable, "scripts/generate_data.py", str(root), "--scenes",
+         "2", "--height", "72", "--width", "96", "--objects", "3"],
+        capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return root
+
+
+def test_database_loads(data_root):
+    from graspnerf_tpu.data import VGNSynDatabase, discover_scenes
+    scenes = discover_scenes(str(data_root))
+    assert len(scenes) == 2
+    db = VGNSynDatabase(scenes[0],
+                        sdf_path=str(data_root / "sdf" /
+                                     (scenes[0].split("/")[-1] + ".npz")),
+                        grasp_csv=str(data_root / "grasps" /
+                                      (scenes[0].split("/")[-1] + ".csv")),
+                        scale=0.15)
+    img = db.get_image(0)
+    assert img.shape[-1] == 3 and img.max() <= 1.0
+    sdf = db.get_sdf()
+    assert sdf.shape == (40, 40, 40)
+    assert sdf.min() >= -1.0 and sdf.max() <= 1.0
+    gi = db.get_grasp_info()
+    assert gi is not None
+    idx, label, rot, width = gi
+    assert idx.shape[1] == 3 and rot.shape[1:] == (2, 4)
+
+    # pose roundtrip: camera centers on the r=0.5 hemisphere around (0,0,0.1)
+    for i in (0, 7, 23):
+        pose = db.get_pose(i)
+        c = -pose[:3, :3].T @ pose[:3, 3]
+        r = np.linalg.norm(c - np.array([0.0, 0.0, 0.1]))
+        assert abs(r - 0.5) < 1e-4, (i, r)
+
+
+def test_dataset_batches(data_root):
+    from graspnerf_tpu.data import VGNSynDataset
+    ds = VGNSynDataset(str(data_root), sdf_root=str(data_root / "sdf"),
+                       grasp_root=str(data_root / "grasps"), n_rays=64,
+                       n_grasps=8)
+    b = ds.sample()
+    assert b["data"]["ref"]["imgs"].shape[0] == 6
+    assert b["data"]["que"]["coords"].shape == (1, 64, 2)
+    assert b["sdf_gt"].shape == (40, 40, 40)
+    assert b["grasp_label"].shape == (8,)
+    assert "true_depth" in b
+    # depth maps sane: hits start past the near plane and the bulk of the
+    # image is within the workspace depth range (grazing table rays can be
+    # legitimately far)
+    d = b["true_depth"]
+    assert (d[d > 0] > 0.1).all()
+    assert 0.2 < np.median(d[d > 0]) < 1.0
+
+
+def test_view_selection_hard_mode():
+    from graspnerf_tpu.data import select_ref_views
+    rng = np.random.RandomState(0)
+    for que in range(24):
+        ids = select_ref_views(6, que, rng, mode="hard")
+        assert len(ids) == 6
+        que_az = que % 6
+        for i in ids:
+            daz = min((i % 6 - que_az) % 6, (que_az - i % 6) % 6)
+            assert daz >= 2, (que, i)
