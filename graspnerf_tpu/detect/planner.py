@@ -43,18 +43,32 @@ class GraspNeRFPlanner:
         self.max_candidates = max_candidates
         self.seed = seed
 
-        def _core(params, data):
-            out = self.model.apply({"params": params}, data, train=False)
-            vol = out["volume"]
-            qual, rot, width = out["vgn_pred_full"]
-            qual = process(vol, qual[0, ..., 0], width[0, ..., 0],
-                           tsdf_thres_high=tsdf_thres_high,
-                           tsdf_thres_low=tsdf_thres_low)
-            sparse = nms(qual, qual_threshold)
+        # Two-stage jit: per-scene view encoding, then volume query + grasp
+        # head + on-device post-processing. Besides matching the serving shape
+        # (one encode, many queries), the split keeps each XLA program small —
+        # the fused encoder+gather graph triggers a pathological XLA:TPU
+        # compile-time blowup (minutes vs seconds) at 288x512.
+        def _encode(params, imgs):
+            return self.model.apply(
+                {"params": params}, {"imgs": imgs},
+                method=lambda m, ref: m.nr_net.encode_views(ref))
+
+        def _volume(params, ref, img_feats, ray_feats):
+            vol = self.model.apply(
+                {"params": params}, ref, img_feats, ray_feats,
+                method=lambda m, ref, a, b: m.nr_net.sample_volume(ref, a, b))
+            qual, rot, width = self.model.apply(
+                {"params": params}, vol[None, ..., None],
+                method=lambda m, v: m.vgn_net(v))
+            q = process(vol, qual[0, ..., 0], width[0, ..., 0],
+                        tsdf_thres_high=tsdf_thres_high,
+                        tsdf_thres_low=tsdf_thres_low)
+            sparse = nms(q, qual_threshold)
             cand = extract_candidates(sparse, rot[0], width[0, ..., 0],
                                       k=max_candidates)
             return vol, cand
-        self._core = jax.jit(_core)
+        self._encode = jax.jit(_encode)
+        self._volume = jax.jit(_volume)
 
     def core(self, images, extrinsics, Ks, depth_range,
              bbox_min=DEFAULT_BBOX_MIN):
@@ -63,14 +77,15 @@ class GraspNeRFPlanner:
         """
         V, h, w, _ = images.shape
         assert h % 32 == 0 and w % 32 == 0, (h, w)
-        data = {"ref": {
+        ref = {
             "imgs": jnp.asarray(images, jnp.float32),
             "poses": jnp.asarray(extrinsics, jnp.float32),
             "Ks": jnp.asarray(Ks, jnp.float32),
             "depth_range": jnp.asarray(depth_range, jnp.float32),
-            "bbox3d_min": jnp.asarray(bbox_min, jnp.float32)}}
+            "bbox3d_min": jnp.asarray(bbox_min, jnp.float32)}
         t0 = time.time()
-        vol, cand = self._core(self.params, data)
+        img_feats, ray_feats = self._encode(self.params, ref["imgs"])
+        vol, cand = self._volume(self.params, ref, img_feats, ray_feats)
         jax.block_until_ready(cand.scores)
         return vol, cand, time.time() - t0
 

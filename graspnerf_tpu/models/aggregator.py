@@ -6,6 +6,8 @@ logistic-CDF alpha using a single learned sharpness parameter.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -69,11 +71,15 @@ class NeusAggregationNet(nn.Module):
     """
     neuray_dim: int = 32
     init_s: float = 0.3
+    dtype: Any = jnp.float32
 
     def setup(self):
-        self.prob_embed_0 = nn.Dense(self.neuray_dim, name="prob_embed.0")
-        self.prob_embed_2 = nn.Dense(self.neuray_dim, name="prob_embed.2")
-        self.agg_impl = IBRNetNeus(self.neuray_dim, name="agg_impl")
+        self.prob_embed_0 = nn.Dense(self.neuray_dim, name="prob_embed.0",
+                                     dtype=self.dtype)
+        self.prob_embed_2 = nn.Dense(self.neuray_dim, name="prob_embed.2",
+                                     dtype=self.dtype)
+        self.agg_impl = IBRNetNeus(self.neuray_dim, name="agg_impl",
+                                   dtype=self.dtype)
         self.deviation_network = SingleVariance(self.init_s,
                                                 name="deviation_network")
 
@@ -82,7 +88,8 @@ class NeusAggregationNet(nn.Module):
         qn, rn, dn, _ = que_pts.shape
         hit_val = (prj["hit_prob"] - 0.5) * 2
         vis_val = (prj["vis"] - 0.5) * 2
-        pe = jnp.concatenate([prj["ray_feats"], hit_val, vis_val], -1)
+        pe = jnp.concatenate([prj["ray_feats"], hit_val, vis_val],
+                             -1).astype(self.dtype)
         pe = self.prob_embed_2(nn.relu(self.prob_embed_0(pe)))
 
         if que_dir is not None:
@@ -96,13 +103,14 @@ class NeusAggregationNet(nn.Module):
 
         colors, sdf, grad = self.agg_impl(img_feats, prob_embedding, dir_diff,
                                           valid_mask, que_pts)
-        sdf = sdf[..., 0].reshape(qn, rn, dn)
-        colors = colors.reshape(qn, rn, dn, 3)
+        sdf = sdf[..., 0].reshape(qn, rn, dn).astype(jnp.float32)
+        colors = colors.reshape(qn, rn, dn, 3).astype(jnp.float32)
         out = {"sdf": sdf, "colors": colors, "grad": grad}
         if que_dists is None:
             return out
 
         inv_s, s_raw = self.deviation_network()
+        grad = grad.astype(jnp.float32)
         out["alpha"] = neus_alpha(sdf, grad, que_dir, que_dists, inv_s,
                                   cos_anneal_ratio)
         gnorm = jnp.linalg.norm(grad, axis=-1)

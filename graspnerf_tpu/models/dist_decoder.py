@@ -8,6 +8,8 @@ fully batched over (view, point).
 """
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -19,12 +21,15 @@ class MixtureLogisticsDistDecoder(nn.Module):
     feats_dim: int = 32
     bias_val: float = 0.05
     use_vis: bool = False  # shipped config: configs/nrvgn_sdf.yaml use_vis false
+    dtype: Any = jnp.float32
 
     def setup(self):
         def head(prefix, out_dim):
-            return (nn.Dense(self.feats_dim, name=f"{prefix}.0"),
-                    nn.Dense(self.feats_dim, name=f"{prefix}.2"),
-                    nn.Dense(out_dim, name=f"{prefix}.4"))
+            return (nn.Dense(self.feats_dim, name=f"{prefix}.0",
+                             dtype=self.dtype),
+                    nn.Dense(self.feats_dim, name=f"{prefix}.2",
+                             dtype=self.dtype),
+                    nn.Dense(out_dim, name=f"{prefix}.4", dtype=self.dtype))
         self.mean_layers = head("mean_decoder", 2)
         self.var_layers = head("var_decoder", 2)
         self.aw_layers = head("aw_decoder", 1)
@@ -37,16 +42,20 @@ class MixtureLogisticsDistDecoder(nn.Module):
         return l2(nn.elu(l1(nn.elu(l0(x)))))
 
     def __call__(self, feats):
-        mean = nn.softplus(self._run(self.mean_layers, feats))
-        var = nn.softplus(self._run(self.var_layers, feats)) + self.bias_val
-        aw = nn.sigmoid(self._run(self.aw_layers, feats))
+        feats = feats.astype(self.dtype)
+        f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+        mean = nn.softplus(f32(self._run(self.mean_layers, feats)))
+        var = nn.softplus(f32(self._run(self.var_layers, feats))) + self.bias_val
+        aw = nn.sigmoid(f32(self._run(self.aw_layers, feats)))
         vis = None
         if self.use_vis:
-            vis = nn.sigmoid(self._run(self.vis_layers, feats))
+            vis = nn.sigmoid(f32(self._run(self.vis_layers, feats)))
         return mean, var, vis, aw
 
     def predict_mean(self, feats):
-        return nn.softplus(self._run(self.mean_layers, feats))
+        feats = feats.astype(self.dtype)
+        return nn.softplus(
+            self._run(self.mean_layers, feats).astype(jnp.float32))
 
 
 def compute_prob(depth, interval, mean, var, vis, aw, depth_range,

@@ -15,6 +15,8 @@ which gives the double-backward needed by the eikonal loss.
 """
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,14 +60,16 @@ class MultiHeadAttention(nn.Module):
     d_model: int = 16
     d_k: int = 4
     d_v: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, mask=None):
         B, L, _ = q.shape
         residual = q
-        qh = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_qs")(q)
-        kh = nn.Dense(self.n_head * self.d_k, use_bias=False, name="w_ks")(k)
-        vh = nn.Dense(self.n_head * self.d_v, use_bias=False, name="w_vs")(v)
+        dd = dict(use_bias=False, dtype=self.dtype)
+        qh = nn.Dense(self.n_head * self.d_k, name="w_qs", **dd)(q)
+        kh = nn.Dense(self.n_head * self.d_k, name="w_ks", **dd)(k)
+        vh = nn.Dense(self.n_head * self.d_v, name="w_vs", **dd)(v)
         qh = qh.reshape(B, L, self.n_head, self.d_k).transpose(0, 2, 1, 3)
         kh = kh.reshape(B, L, self.n_head, self.d_k).transpose(0, 2, 1, 3)
         vh = vh.reshape(B, L, self.n_head, self.d_v).transpose(0, 2, 1, 3)
@@ -76,8 +80,10 @@ class MultiHeadAttention(nn.Module):
         attn = jax.nn.softmax(attn, -1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.n_head * self.d_v)
-        out = nn.Dense(self.d_model, use_bias=False, name="fc")(out) + residual
-        return nn.LayerNorm(epsilon=1e-6, name="layer_norm")(out)
+        out = nn.Dense(self.d_model, use_bias=False, name="fc",
+                       dtype=self.dtype)(out) + residual
+        return nn.LayerNorm(epsilon=1e-6, name="layer_norm",
+                            dtype=self.dtype)(out)
 
 
 class _Seq(nn.Module):
@@ -85,11 +91,12 @@ class _Seq(nn.Module):
     attribute name supplies the torch prefix. acts: 'elu'|'sigmoid'|None."""
     dims: tuple
     acts: tuple
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i, (d, a) in enumerate(zip(self.dims, self.acts)):
-            x = nn.Dense(d, name=str(2 * i))(x)
+            x = nn.Dense(d, name=str(2 * i), dtype=self.dtype)(x)
             if a == "elu":
                 x = nn.elu(x)
             elif a == "sigmoid":
@@ -108,36 +115,43 @@ class IBRNetNeus(nn.Module):
     """
     neuray_in_dim: int = 32
     in_feat_ch: int = 32
+    dtype: Any = jnp.float32
 
     def setup(self):
         f = self.in_feat_ch
-        self.ray_dir_fc = _Seq((16, f + 3), ("elu", "elu"))
-        self.base_fc = _Seq((64, 32), ("elu", "elu"))
-        self.vis_fc = _Seq((32, 33), ("elu", "elu"))
-        self.vis_fc2 = _Seq((32, 1), ("elu", "sigmoid"))
-        self.geometry_fc = _Seq((64, 16), ("elu", "elu"))
-        self.ray_attention = MultiHeadAttention(name="ray_attention")
-        self.rgb_fc = _Seq((16, 8, 1), ("elu", "elu", None))
-        self.neuray_fc = _Seq((8, 1), ("elu", None))
+        d = self.dtype
+        self.ray_dir_fc = _Seq((16, f + 3), ("elu", "elu"), d)
+        self.base_fc = _Seq((64, 32), ("elu", "elu"), d)
+        self.vis_fc = _Seq((32, 33), ("elu", "elu"), d)
+        self.vis_fc2 = _Seq((32, 1), ("elu", "sigmoid"), d)
+        self.geometry_fc = _Seq((64, 16), ("elu", "elu"), d)
+        self.ray_attention = MultiHeadAttention(name="ray_attention", dtype=d)
+        self.rgb_fc = _Seq((16, 8, 1), ("elu", "elu", None), d)
+        self.neuray_fc = _Seq((8, 1), ("elu", None), d)
         # out_geometry_fc: two stacked Linears with NO activation between
         # (ref: ibrnet.py:410-412)
-        self.out_geo_0 = nn.Dense(16, name="out_geometry_fc.0")
-        self.out_geo_1 = nn.Dense(1, name="out_geometry_fc.1")
+        self.out_geo_0 = nn.Dense(16, name="out_geometry_fc.0", dtype=d)
+        self.out_geo_1 = nn.Dense(1, name="out_geometry_fc.1", dtype=d)
 
     def _geometry(self, feat_const, pts, num_valid, pos_enc):
         """SDF from aggregated features + point embedding. pts [Q,R',D,3]."""
         R, D, _ = feat_const.shape
-        embed = embed_points(pts).reshape(R, D, -1)
+        embed = embed_points(pts).reshape(R, D, -1).astype(feat_const.dtype)
         g = jnp.concatenate([feat_const, embed], -1)
         g = self.geometry_fc(g)
         g = g + pos_enc
         row_mask = (num_valid > 1).astype(g.dtype)  # R,D,1
         g = self.ray_attention(g, g, g, mask=row_mask)
-        sdf = jnp.clip(self.out_geo_1(self.out_geo_0(g)), -1.0, 1.0)
+        sdf = jnp.clip(self.out_geo_1(self.out_geo_0(g)).astype(jnp.float32),
+                       -1.0, 1.0)
         return jnp.where(num_valid < 1, 1.0, sdf)  # R,D,1
 
     def __call__(self, rgb_feat, neuray_feat, ray_diff, mask, que_pts):
         R, D, V, _ = rgb_feat.shape
+        rgb_feat = rgb_feat.astype(self.dtype)
+        neuray_feat = neuray_feat.astype(self.dtype)
+        ray_diff = ray_diff.astype(self.dtype)
+        mask = mask.astype(self.dtype)
         direction_feat = self.ray_dir_fc(ray_diff)
         rgb_in = rgb_feat[..., :3]
         rgb_feat = rgb_feat + direction_feat
@@ -164,7 +178,7 @@ class IBRNetNeus(nn.Module):
         feat_const = jnp.concatenate(
             [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, 2)], -1)  # R,D,65
         num_valid = jnp.sum(mask, 2)  # R,D,1
-        pos_enc = jnp.asarray(positional_table(D))
+        pos_enc = jnp.asarray(positional_table(D)).astype(self.dtype)
 
         if self.is_initializing():
             # create the geometry-branch params outside the vjp trace
@@ -176,6 +190,6 @@ class IBRNetNeus(nn.Module):
         h = jnp.concatenate([x, vis, ray_diff], -1)
         h = self.rgb_fc(h)
         h = jnp.where(mask == 0, -1e9, h)
-        blend = jax.nn.softmax(h, 2)
-        rgb_out = jnp.sum(rgb_in * blend, 2)
+        blend = jax.nn.softmax(h.astype(jnp.float32), 2)
+        rgb_out = jnp.sum(rgb_in.astype(jnp.float32) * blend, 2)
         return rgb_out, sdf, grad_pts

@@ -80,6 +80,9 @@ class NeuralRayRenderer(nn.Module):
     depth_loss_coords_num: int = 8192
     use_depth_loss: bool = True
     init_s: float = 0.3
+    # activation/compute dtype ("float32" | "bfloat16"); params stay float32,
+    # geometry and compositing stay float32 regardless
+    compute_dtype: str = "float32"
     # name of the mesh axis to shard rays / TSDF-grid columns over (None =
     # let XLA decide); only meaningful inside jit under a Mesh context
     space_axis: Optional[str] = None
@@ -94,26 +97,31 @@ class NeuralRayRenderer(nn.Module):
         return jax.lax.with_sharding_constraint(x, P(*spec))
 
     def setup(self):
+        d = jnp.dtype(self.compute_dtype)
         self.image_encoder = ResUNetLight((1, 2, 6, 4), 32, 16,
-                                          name="image_encoder")
-        self.init_net = RayFeatInitNet(name="init_net")
-        self.vis_encoder = VisEncoder(name="vis_encoder")
-        self.dist_decoder = MixtureLogisticsDistDecoder(name="dist_decoder")
-        self.agg_net = NeusAggregationNet(init_s=self.init_s, name="agg_net")
+                                          name="image_encoder", dtype=d)
+        self.init_net = RayFeatInitNet(name="init_net", dtype=d)
+        self.vis_encoder = VisEncoder(name="vis_encoder", dtype=d)
+        self.dist_decoder = MixtureLogisticsDistDecoder(name="dist_decoder",
+                                                        dtype=d)
+        self.agg_net = NeusAggregationNet(init_s=self.init_s, name="agg_net",
+                                          dtype=d)
         if self.use_hierarchical_sampling:
             self.fine_dist_decoder = MixtureLogisticsDistDecoder(
-                name="fine_dist_decoder")
+                name="fine_dist_decoder", dtype=d)
             self.fine_agg_net = NeusAggregationNet(init_s=self.init_s,
-                                                   name="fine_agg_net")
+                                                   name="fine_agg_net",
+                                                   dtype=d)
 
     # ---------------------------------------------------------------- views
     def encode_views(self, ref):
         """Run the three CNNs once per scene; returns (img_feats, ray_feats)
-        at quarter resolution (ref renderer.py:275-279)."""
+        at quarter resolution (ref renderer.py:275-279). Feature maps are
+        gathered in float32 for interpolation accuracy."""
         img_feats = self.image_encoder(ref["imgs"])
         ray_feats = self.init_net(ref["imgs"])
         ray_feats = self.vis_encoder(ray_feats, img_feats)
-        return img_feats, ray_feats
+        return (img_feats.astype(jnp.float32), ray_feats.astype(jnp.float32))
 
     # ----------------------------------------------------------- ray render
     def _predict_ray_prob(self, decoder, prj, ref_depth_range, que_dists_inv):
@@ -273,7 +281,9 @@ class GraspNeRF(nn.Module):
     def setup(self):
         cfg = dict(self.renderer_cfg or {})
         self.nr_net = NeuralRayRenderer(**cfg, name="nr_net")
-        self.vgn_net = VGNConvNet(name="vgn_net")
+        self.vgn_net = VGNConvNet(
+            name="vgn_net",
+            dtype=jnp.dtype(cfg.get("compute_dtype", "float32")))
 
     def __call__(self, data, train: bool = False, key=None):
         out = self.nr_net(data, train=train, key=key)

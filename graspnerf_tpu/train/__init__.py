@@ -4,3 +4,4 @@ from .checkpoint import CheckpointManager
 from .trainer import (Trainer, TrainState, create_train_state, make_train_step,
                       make_eval_step, make_loss_fn, compute_losses)
 from . import metrics
+from .profiling import ThroughputMeter, trace, timed, rays_per_step

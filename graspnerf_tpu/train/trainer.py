@@ -106,7 +106,7 @@ class Trainer:
                  total_steps: int = 500_000, val_interval: int = 5000,
                  save_interval: int = 1000, lr_cfg: Optional[dict] = None,
                  key_metric: str = "loss_vgn", log_every: int = 50,
-                 seed: int = 0):
+                 seed: int = 0, tensorboard: bool = True):
         self.model = model
         self.train_iter = train_iter
         self.val_batches = val_batches or []
@@ -121,11 +121,24 @@ class Trainer:
         self.log_path = os.path.join(workdir, "metrics.jsonl")
         self.rng = jax.random.PRNGKey(seed)
         self.lr_cfg = lr_cfg
+        self.tb = None
+        if tensorboard:
+            try:  # TensorBoard writer (the reference logs via SummaryWriter)
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(os.path.join(workdir, "tb"))
+            except Exception:
+                self.tb = None
 
     def _log(self, record: Dict[str, Any]):
+        rec = {k: (float(v) if hasattr(v, "item") else v)
+               for k, v in record.items()}
         with open(self.log_path, "a") as f:
-            f.write(json.dumps({k: (float(v) if hasattr(v, "item") else v)
-                                for k, v in record.items()}) + "\n")
+            f.write(json.dumps(rec) + "\n")
+        if self.tb is not None and "step" in rec:
+            prefix = "val/" if rec.get("val") else "train/"
+            for k, v in rec.items():
+                if isinstance(v, float):
+                    self.tb.add_scalar(prefix + k, v, rec["step"])
 
     def validate(self, params) -> Dict[str, float]:
         eval_step = getattr(self, "_eval_step", None)
@@ -157,8 +170,12 @@ class Trainer:
             self.rng, k = jax.random.split(self.rng)
             state, metrics = train_step(state, batch, k)
             if (step + 1) % self.log_every == 0:
-                rec = {"step": step + 1,
-                       "sec_per_step": (time.time() - t0) / self.log_every,
+                sec = (time.time() - t0) / self.log_every
+                n_rays = batch["data"]["que"]["coords"].shape[1]
+                res = batch["sdf_gt"].shape[-1]
+                rec = {"step": step + 1, "sec_per_step": sec,
+                       "rays_per_s": n_rays * 80 / sec,       # 40+40 samples
+                       "tsdf_queries_per_s": res ** 3 / sec,
                        **{k_: float(v) for k_, v in metrics.items()}}
                 self._log(rec)
                 t0 = time.time()
