@@ -76,7 +76,20 @@ class Scene:
     # -------------------------------------------------------- ray tracing
     def trace(self, origins, dirs):
         """origins/dirs [N,3] (dirs unit). Returns (t [N], normal [N,3],
-        obj_id [N] with -1 = miss, table = last id)."""
+        obj_id [N] with -1 = miss, table = last id).
+
+        Uses the native C++/OpenMP tracer (native/raytrace.cpp) when built;
+        this numpy path is the correctness oracle and fallback."""
+        from . import native
+        if native.available():
+            spheres = (np.stack([np.r_[c, r] for c, r in self.spheres])
+                       if self.spheres else np.zeros((0, 4), np.float32))
+            boxes = (np.stack([np.r_[lo, hi] for lo, hi in self.boxes])
+                     if self.boxes else np.zeros((0, 6), np.float32))
+            return native.trace_rays(spheres, boxes, origins, dirs)
+        return self._trace_numpy(origins, dirs)
+
+    def _trace_numpy(self, origins, dirs):
         N = origins.shape[0]
         t_best = np.full(N, np.inf, np.float32)
         n_best = np.zeros((N, 3), np.float32)
