@@ -41,12 +41,42 @@ def _load() -> Optional[ctypes.CDLL]:
                                f32p, f32p, ctypes.c_int, f32p, f32p, i32p]
     lib.trace_rays.restype = None
     lib.rt_num_threads.restype = ctypes.c_int
+    if hasattr(lib, "trace_prims"):
+        lib.trace_prims.argtypes = [f32p, ctypes.c_int, f32p, f32p,
+                                    ctypes.c_int, ctypes.c_int,
+                                    f32p, f32p, i32p]
+        lib.trace_prims.restype = None
     _lib = lib
     return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def prims_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "trace_prims")
+
+
+def trace_prims(prims: np.ndarray, origins: np.ndarray, dirs: np.ndarray,
+                with_table: bool = True):
+    """prims [np,16] ([kind, R(9), t(3), params(3)]), origins/dirs [n,3] →
+    (t [n] inf=miss, normals [n,3], ids [n]). Same contract as
+    sim.objects.PrimScene.trace (the numpy oracle)."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "trace_prims"), \
+        "native prim tracer unavailable"
+    n = origins.shape[0]
+    prims = np.ascontiguousarray(prims, np.float32).reshape(-1, 16)
+    origins = np.ascontiguousarray(origins, np.float32)
+    dirs = np.ascontiguousarray(dirs, np.float32)
+    t = np.empty(n, np.float32)
+    normals = np.empty((n, 3), np.float32)
+    ids = np.empty(n, np.int32)
+    lib.trace_prims(prims, len(prims), origins, dirs, n,
+                    1 if with_table else 0, t, normals, ids)
+    return np.where(t >= 1e29, np.inf, t), normals, ids
 
 
 def trace_rays(spheres: np.ndarray, boxes: np.ndarray, origins: np.ndarray,

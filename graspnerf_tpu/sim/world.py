@@ -17,18 +17,13 @@ Both expose: reset(n_objects) → scene; num_objects; observe(pose, K, h, w) →
 """
 from __future__ import annotations
 
-import enum
 from typing import Tuple
 
 import numpy as np
 
 from ..data.synthetic import Scene
+from .grasp import Label
 from .transform import Transform
-
-
-class Label(enum.IntEnum):
-    FAILURE = 0
-    SUCCESS = 1
 
 
 class AnalyticWorld:

@@ -117,6 +117,145 @@ void trace_rays(const float* spheres, int ns, const float* boxes, int nb,
   }
 }
 
+// Oriented-primitive tracer for the simulation harness
+// (graspnerf_tpu/sim/objects.py). prims: [np,16] rows of
+// [kind, R row-major(9), t(3), params(3)] with world = R*local + t.
+// kinds: 0 sphere(r) / 1 box(hx,hy,hz) / 2 capped cylinder(r,hz) /
+// 3 capsule(r,hz), all axis = local z. with_table adds the plane z=0 with
+// id = np_. Misses -> t=1e30, id=-1. Mirrors PrimScene.trace (the numpy
+// correctness oracle, tests/test_sim_objects.py).
+void trace_prims(const float* prims, int np_, const float* origins,
+                 const float* dirs, int n, int with_table, float* out_t,
+                 float* out_n, int32_t* out_id) {
+  const float INF = 1e30f;
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < n; ++i) {
+    Vec3 wo{origins[3 * i], origins[3 * i + 1], origins[3 * i + 2]};
+    Vec3 wd{dirs[3 * i], dirs[3 * i + 1], dirs[3 * i + 2]};
+    float best_t = INF;
+    Vec3 best_n{0.f, 0.f, 0.f};
+    int best_id = -1;
+
+    for (int pi = 0; pi < np_; ++pi) {
+      const float* P = prims + 16 * pi;
+      int kind = (int)P[0];
+      const float* R = P + 1;   // row-major 3x3
+      Vec3 tr{P[10], P[11], P[12]};
+      float p0 = P[13], p1 = P[14];
+      // local = R^T * (world - t)
+      Vec3 rel = sub(wo, tr);
+      Vec3 o{R[0] * rel.x + R[3] * rel.y + R[6] * rel.z,
+             R[1] * rel.x + R[4] * rel.y + R[7] * rel.z,
+             R[2] * rel.x + R[5] * rel.y + R[8] * rel.z};
+      Vec3 d{R[0] * wd.x + R[3] * wd.y + R[6] * wd.z,
+             R[1] * wd.x + R[4] * wd.y + R[7] * wd.z,
+             R[2] * wd.x + R[5] * wd.y + R[8] * wd.z};
+      float t_hit = INF;
+      Vec3 n_hit{0.f, 0.f, 0.f};
+
+      if (kind == 0 || kind == 3) {  // sphere / capsule end-spheres
+        float r = p0;
+        int ncap = kind == 0 ? 1 : 2;
+        for (int ci = 0; ci < ncap; ++ci) {
+          float cz = kind == 0 ? 0.f : (ci == 0 ? -p1 : p1);
+          Vec3 oc{o.x, o.y, o.z - cz};
+          float b = dot(d, oc);
+          float disc = b * b - (dot(oc, oc) - r * r);
+          if (disc <= 0.f) continue;
+          float t = -b - std::sqrt(disc);
+          if (t <= 1e-5f || t >= t_hit) continue;
+          float pz = o.z + t * d.z;
+          if (kind == 3 && !(ci == 0 ? pz <= -p1 : pz >= p1)) continue;
+          t_hit = t;
+          n_hit = {(o.x + t * d.x) / r, (o.y + t * d.y) / r, (pz - cz) / r};
+        }
+      }
+      if (kind == 2 || kind == 3) {  // cylinder side (+caps for kind 2)
+        float r = p0, hz = p1;
+        float a = d.x * d.x + d.y * d.y;
+        float b = o.x * d.x + o.y * d.y;
+        float c = o.x * o.x + o.y * o.y - r * r;
+        float disc = b * b - a * c;
+        if (disc > 0.f && a > 1e-9f) {
+          float t = (-b - std::sqrt(disc)) / a;
+          float pz = o.z + t * d.z;
+          if (t > 1e-5f && t < t_hit && std::fabs(pz) <= hz) {
+            t_hit = t;
+            n_hit = {(o.x + t * d.x) / r, (o.y + t * d.y) / r, 0.f};
+          }
+        }
+        if (kind == 2 && std::fabs(d.z) > 1e-9f) {
+          for (int ci = 0; ci < 2; ++ci) {
+            float zc = ci == 0 ? -hz : hz;
+            float t = (zc - o.z) / d.z;
+            if (t <= 1e-5f || t >= t_hit) continue;
+            float px = o.x + t * d.x, py = o.y + t * d.y;
+            if (px * px + py * py > r * r) continue;
+            t_hit = t;
+            n_hit = {0.f, 0.f, ci == 0 ? -1.f : 1.f};
+          }
+        }
+      }
+      if (kind == 1) {  // box (half-extents)
+        const float h[3] = {P[13], P[14], P[15]};
+        const float od[3] = {o.x, o.y, o.z};
+        const float dd[3] = {d.x, d.y, d.z};
+        float tn = -INF, tf = INF;
+        int axis = 0;
+        float sign = 0.f;
+        bool ok = true;
+        for (int a = 0; a < 3; ++a) {
+          float inv = 1.0f / (std::fabs(dd[a]) < 1e-9f
+                                  ? (dd[a] < 0 ? -1e-9f : 1e-9f)
+                                  : dd[a]);
+          float t0 = (-h[a] - od[a]) * inv;
+          float t1 = (h[a] - od[a]) * inv;
+          float tmin = t0 < t1 ? t0 : t1;
+          float tmax = t0 < t1 ? t1 : t0;
+          if (tmin > tn) {
+            tn = tmin;
+            axis = a;
+            sign = dd[a] > 0 ? -1.f : 1.f;
+          }
+          if (tmax < tf) tf = tmax;
+          if (tn >= tf || tf <= 0) { ok = false; break; }
+        }
+        if (ok && tn > 1e-5f && tn < t_hit) {
+          t_hit = tn;
+          n_hit = {0.f, 0.f, 0.f};
+          if (axis == 0) n_hit.x = sign;
+          if (axis == 1) n_hit.y = sign;
+          if (axis == 2) n_hit.z = sign;
+        }
+      }
+
+      if (t_hit < best_t) {
+        best_t = t_hit;
+        // world normal = R * local normal
+        best_n = {R[0] * n_hit.x + R[1] * n_hit.y + R[2] * n_hit.z,
+                  R[3] * n_hit.x + R[4] * n_hit.y + R[5] * n_hit.z,
+                  R[6] * n_hit.x + R[7] * n_hit.y + R[8] * n_hit.z};
+        best_id = pi;
+      }
+    }
+
+    if (with_table && std::fabs(wd.z) > 1e-9f) {
+      float t = -wo.z / wd.z;
+      if (t > 1e-5f && t < best_t) {
+        best_t = t;
+        best_n = {0.f, 0.f, 1.f};
+        best_id = np_;
+      }
+    }
+
+    out_t[i] = best_t;
+    out_n[3 * i] = best_n.x;
+    out_n[3 * i + 1] = best_n.y;
+    out_n[3 * i + 2] = best_n.z;
+    out_id[i] = best_id;
+  }
+}
+
 int rt_num_threads() {
 #if defined(_OPENMP)
   return omp_get_max_threads();
