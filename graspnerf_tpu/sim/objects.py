@@ -166,10 +166,16 @@ def _canonical_surface_points(kind: int, prm: np.ndarray, n: int,
         pts[:ncap] = np.stack([rr * np.cos(th), rr * np.sin(th), zc], -1)
         return pts.astype(np.float32)
     if kind == TYPE_CAPSULE:
-        r, hz = prm[0], prm[1]
-        z = np.clip(u[:, 2] * (hz / max(r, _EPS) + 1.0), -1, 1)
-        pts = u * r
-        pts[:, 2] += np.sign(u[:, 2]) * hz * (np.abs(u[:, 2]) > 0.5)
+        # area-proportional split: side 4*pi*r*hz vs caps 4*pi*r^2
+        r, hz = float(prm[0]), float(prm[1])
+        p_side = hz / max(hz + r, _EPS)
+        on_side = rng.rand(n) < p_side
+        theta = rng.uniform(0, 2 * np.pi, n)
+        z_side = rng.uniform(-hz, hz, n)
+        side = np.stack([r * np.cos(theta), r * np.sin(theta), z_side], -1)
+        cap = u * r  # uniform sphere dirs scaled to radius
+        cap[:, 2] += np.sign(cap[:, 2]) * hz  # shift each hemisphere to a cap
+        pts = np.where(on_side[:, None], side, cap)
         return pts.astype(np.float32)
     raise ValueError(kind)
 
@@ -222,6 +228,9 @@ class PrimObject:
             return float(self.params[0])
         if self.kind == TYPE_BOX:
             return float(np.linalg.norm(self.params))
+        if self.kind == TYPE_CAPSULE:
+            # caps extend the half-length by the radius
+            return float(self.params[0] + self.params[1])
         return float(np.hypot(self.params[0], self.params[1]))
 
     @property

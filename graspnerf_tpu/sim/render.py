@@ -78,22 +78,34 @@ class DomainRandomizer:
         self.lights: list = []
         self.floor: dict = {}
         self.texture_seed = 0
+        self.ambient = 0.25  # overwritten by init_scene
 
     # ------------------------------------------------------------ sampling
+    def _sample_material(self, ob) -> dict:
+        rng = self.rng
+        cls = MATERIAL_CLASSES[ob.material % len(MATERIAL_CLASSES)]
+        spec, shin, metal, (lo, hi) = _CLASS_PARAMS[cls]
+        albedo = rng.uniform(lo, hi, 3).astype(np.float32)
+        return {
+            "class": cls, "albedo": albedo,
+            "spec": spec * rng.uniform(0.7, 1.3),
+            "shin": shin * rng.uniform(0.7, 1.3),
+            "metal": metal,
+        }
+
     def init_scene(self, scene: PrimScene):
-        """Sample materials for every object + the table and the light rig."""
+        """Sample materials for every object + the table and the light rig.
+
+        Materials are bound to object *identity* (stored on the PrimObject, as
+        the reference binds Blender materials to object UIDs —
+        rd/render.py:238-251) so removing an object never re-shuffles the
+        survivors' appearance across closed-loop rounds."""
         rng = self.rng
         self.materials = []
         for ob in scene.objects:
-            cls = MATERIAL_CLASSES[ob.material % len(MATERIAL_CLASSES)]
-            spec, shin, metal, (lo, hi) = _CLASS_PARAMS[cls]
-            albedo = rng.uniform(lo, hi, 3).astype(np.float32)
-            self.materials.append({
-                "class": cls, "albedo": albedo,
-                "spec": spec * rng.uniform(0.7, 1.3),
-                "shin": shin * rng.uniform(0.7, 1.3),
-                "metal": metal,
-            })
+            mat = self._sample_material(ob)
+            ob._dr_material = mat
+            self.materials.append(mat)
         # table/floor material (ref rd/render.py:215-234)
         base = rng.uniform(0.25, 0.8)
         tint = rng.uniform(0.85, 1.0, 3)
@@ -121,10 +133,18 @@ class DomainRandomizer:
         return self
 
     def update_sceneobj(self, scene: PrimScene):
-        """Re-sync materials after objects were removed
-        (ref rd/render.py:238-251). Object identity = material dict entry."""
-        if len(self.materials) > len(scene.objects):
-            self.materials = self.materials[:len(scene.objects)]
+        """Re-sync materials after objects were removed or added
+        (ref rd/render.py:238-251). Materials follow object identity: each
+        survivor keeps the material stored on it; new objects get a fresh
+        sample."""
+        mats = []
+        for ob in scene.objects:
+            mat = getattr(ob, "_dr_material", None)
+            if mat is None:
+                mat = self._sample_material(ob)
+                ob._dr_material = mat
+            mats.append(mat)
+        self.materials = mats
 
     # ------------------------------------------------------------- shading
     def shade(self, scene: PrimScene, points, normals, ids, miss_value=0.05):

@@ -325,17 +325,26 @@ class ClutterRemovalSim:
             # (ref Gripper.move_tcp_xyz eef_step=0.002)
             n_steps = max(int(0.05 / 0.002), 1)
             contact = False
+            stop_pose = pose  # last collision-free TCP pose on the descent
             for k in range(1, n_steps + 1):
                 tcp = Transform(pose.rotation,
                                 np.asarray(pregrasp.translation)
                                 + z_axis * (0.05 * k / n_steps))
                 if self._body_collides(tcp, g.max_opening_width):
                     contact = True
+                    stop_pose = Transform(
+                        pose.rotation,
+                        np.asarray(pregrasp.translation)
+                        + z_axis * (0.05 * (k - 1) / n_steps))
                     break
             if contact and not allow_contact:
                 result = (Label.FAILURE, g.max_opening_width)
             else:
-                width, obj_id, cos_ok = self._close_fingers(pose)
+                # with allow_contact the descent stops at the contact point
+                # and the fingers close from the stopped pose (ref
+                # simulation.py:369-422 aborts move_tcp_xyz on contact)
+                close_pose = stop_pose if contact else pose
+                width, obj_id, cos_ok = self._close_fingers(close_pose)
                 success = (width is not None
                            and width > 0.1 * g.max_opening_width
                            and cos_ok >= self.friction_cos

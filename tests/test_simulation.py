@@ -240,3 +240,74 @@ def test_acquire_tsdf_shapes():
     assert np.isfinite(tsdf).all() and t_int >= 0
     # near-surface voxels exist (objects were observed)
     assert (np.abs(tsdf) < 0.5).any()
+
+
+def test_capsule_surface_points_on_surface():
+    """Capsule surface samples must lie on the surface (|sdf| ~ 0) and cover
+    both the cylindrical side and the caps area-proportionally."""
+    rng = np.random.RandomState(3)
+    ob = PrimObject(TYPE_CAPSULE, [0.015, 0.04, 0])
+    pts = ob.surface_points(4000, rng)
+    d = ob.sdf(pts)
+    assert np.abs(d).max() < 1e-4
+    # side fraction ~ hz/(hz+r) = 0.04/0.055
+    on_side = np.abs(pts[:, 2]) <= 0.04
+    frac = on_side.mean()
+    assert abs(frac - 0.04 / 0.055) < 0.05
+    # caps are populated beyond the cylinder half-length
+    assert (np.abs(pts[:, 2]) > 0.041).any()
+
+
+def test_capsule_radius_bound():
+    cap = PrimObject(TYPE_CAPSULE, [0.015, 0.04, 0])
+    assert cap.radius_bound == pytest.approx(0.055)
+    # the farthest surface point must be inside the bound
+    pts = cap.surface_points(2000, np.random.RandomState(0))
+    assert np.linalg.norm(pts - cap.t, axis=-1).max() <= cap.radius_bound + 1e-6
+    cyl = PrimObject(TYPE_CYLINDER, [0.015, 0.04, 0])
+    assert cyl.radius_bound == pytest.approx(np.hypot(0.015, 0.04))
+
+
+def test_materials_stable_across_removal():
+    """Removing any object must not re-shuffle survivors' materials (ADVICE:
+    the reference binds Blender materials to object UIDs)."""
+    sim = ClutterRemovalSim("pile", rng=np.random.RandomState(2))
+    sim.reset(5)
+    dr = DomainRandomizer(np.random.RandomState(2)).init_scene(sim.scene)
+    survivors = sim.scene.objects[1:]
+    before = {id(ob): dr.materials[i + 1]["albedo"].copy()
+              for i, ob in enumerate(survivors)}
+    sim.scene.remove(0)  # remove a NON-last object
+    dr.update_sceneobj(sim.scene)
+    assert len(dr.materials) == len(sim.scene.objects)
+    for i, ob in enumerate(sim.scene.objects):
+        np.testing.assert_array_equal(dr.materials[i]["albedo"],
+                                      before[id(ob)])
+
+
+def test_randomizer_usable_without_init_scene():
+    """shade() must not crash on a constructed-but-not-init'd randomizer."""
+    dr = DomainRandomizer(np.random.RandomState(0))
+    assert 0.0 < dr.ambient < 1.0
+
+
+def test_contact_abort_closes_at_stopped_pose(monkeypatch):
+    """With allow_contact=True, contact mid-approach must close the fingers at
+    the aborted TCP pose, not the full target pose (ref simulation.py:369-422
+    aborts move_tcp_xyz on contact)."""
+    sim = ClutterRemovalSim("single", rng=np.random.RandomState(0))
+    # 12 cm wide box: fingers collide with its top during the descent
+    sim.scene = PrimScene([PrimObject(TYPE_BOX, [0.06, 0.06, 0.02],
+                                      t=[0.0, 0.0, 0.02])])
+    seen = {}
+    orig = sim._close_fingers
+
+    def spy(pose):
+        seen["z"] = float(np.asarray(pose.translation)[2])
+        return orig(pose)
+
+    monkeypatch.setattr(sim, "_close_fingers", spy)
+    sim.execute_grasp(Grasp(_top_down_grasp(0.0, 0.0, 0.02), 0.08),
+                      remove=False, allow_contact=True)
+    # stopped well above the 0.02 target (fingertips stop at the box top 0.04)
+    assert seen["z"] > 0.03

@@ -101,3 +101,31 @@ def test_sharded_matches_single_device(model_and_state):
     diffs = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
     assert max(jax.tree_util.tree_leaves(diffs)) < 2e-4
+
+
+def test_checkpoint_crash_safe(tmp_path, model_and_state):
+    """A crash mid-save must never lose the previous checkpoint: saves go to
+    fresh step dirs and latest/best are atomic symlink swaps."""
+    import os
+    _, state, _ = model_and_state
+    tree = {"params": state.params, "opt_state": state.opt_state}
+    cm = CheckpointManager(str(tmp_path / "ckpt"))
+    best = cm.save(tree, step=1, key_metric=0.5)
+
+    # simulate a crash during the next save: a partial step dir exists but
+    # the `latest` symlink never moved
+    os.makedirs(str(tmp_path / "ckpt" / "step_2"))
+    restored = cm.restore(tree)
+    assert restored is not None and restored[1] == 1  # old ckpt intact
+
+    # the next successful save supersedes and garbage-collects the partial
+    best = cm.save(tree, step=3, key_metric=0.4, best=best)
+    assert best == 0.4
+    restored = cm.restore(tree)
+    assert restored[1] == 3
+    assert cm.restore(tree, tag="best")[1] == 3
+    names = set(os.listdir(str(tmp_path / "ckpt")))
+    assert "step_2" not in names and "step_1" not in names
+    # latest/best are symlinks into an immutable step dir
+    assert os.path.islink(str(tmp_path / "ckpt" / "latest"))
+    assert os.path.islink(str(tmp_path / "ckpt" / "best"))
