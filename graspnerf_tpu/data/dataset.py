@@ -2,11 +2,16 @@
 GeneralRendererDataset) producing the same batch contract as the synthetic
 generator.
 
-Per sample: pick a scene, choose 6 equally-spaced reference views of the 24
-hemisphere poses + a random query ('hard' mode drops the 8 nearest to the
-query — ref :195-209), optional depth-noise augmentation (ref :29-42), and
-foreground-biased ray sampling (512 rays, half on object pixels —
-ref :303-318).
+Per sample (matching the reference's live vgn path): pick a scene, choose 6
+equally-spaced reference views of the 24 hemisphere poses anchored at a
+random target + a query offset 1..3 (augment.get_ref_que_ids, ref :204-209,
+:226), the 5%-probability depth-range aug (ref :271-279), margin-style
+consistent depth range (ref :320-334), reflect-pad-to-/32 (ref
+imgs_info.py:60-75, ref_pad_interval 32), and foreground-biased ray sampling
+(512 rays, half on object pixels — ref :303-318). The reference feeds the
+CLEAN depth as true_depth for vgn (no noise — train_dataset.py:383), so
+depth_noise defaults to off; the patch-offset noise (ref :29-42) is available
+via augment.add_depth_offset.
 """
 from __future__ import annotations
 
@@ -15,6 +20,8 @@ from typing import List, Optional
 import numpy as np
 
 from .database import VGNSynDatabase, discover_scenes, TOTAL_VIEWS
+from .augment import (get_ref_que_ids, random_change_depth_range,
+                      consistent_depth_range, pad_imgs_to_interval)
 
 
 def select_ref_views(n_views: int, que_id: int, rng, mode: str = "hard",
@@ -37,13 +44,26 @@ def select_ref_views(n_views: int, que_id: int, rng, mode: str = "hard",
     return ids
 
 
-def add_depth_noise(depth, rng, offset_std: float = 0.005,
-                    prob: float = 0.5):
-    """Patch-wise depth offset augmentation (ref train_dataset.py:29-42)."""
-    if depth is None or rng.rand() > prob:
+def add_depth_noise(depth, rng, depth_length: float = 0.6,
+                    small_offset_prob: float = 0.5,
+                    global_noise_prob: float = 0.5):
+    """Sensor-style depth noise (ref train_dataset.py:281-301 add_depth_noise,
+    gso branch): a rectangular-patch offset (the 'small offset' variant,
+    region 0.1-0.2, offset 0.01-0.05, local jitter 0.005 — ref :296) plus
+    uniform global noise of ±0.005·depth_length (ref :297-299). Off by
+    default for vgn, whose reference path feeds clean depth."""
+    if depth is None:
         return depth
-    noise = rng.randn(*depth.shape).astype(np.float32) * offset_std
-    return np.where(depth > 0, depth + noise, depth)
+    depth = depth.astype(np.float32).copy()
+    mask = depth > 0
+    if mask.any() and rng.random() < small_offset_prob:
+        from .augment import add_depth_offset
+        add_depth_offset(depth, mask, 0.1, 0.2, 0.01, 0.05, 0.005,
+                         depth_length, rng)
+    if rng.random() < global_noise_prob:
+        depth += rng.uniform(-0.005, 0.005,
+                             depth.shape).astype(np.float32) * depth_length
+    return np.where(mask, depth, 0.0).astype(np.float32)
 
 
 def fg_biased_coords(mask, n_rays: int, rng, fg_ratio: float = 0.5):
@@ -69,7 +89,8 @@ class VGNSynDataset:
                  grasp_root: Optional[str] = None, n_views: int = 6,
                  n_rays: int = 512, n_grasps: int = 32, seed: int = 0,
                  scene_types=("pile", "packed"), split: str = "train",
-                 depth_noise: bool = True):
+                 depth_noise: bool = False, aug_depth_range: bool = True,
+                 pad_interval: int = 32):
         self.scenes = discover_scenes(root, scene_types, split)
         if not self.scenes:
             raise FileNotFoundError(f"no scenes under {root}")
@@ -78,6 +99,8 @@ class VGNSynDataset:
         self.n_views, self.n_rays, self.n_grasps = n_views, n_rays, n_grasps
         self.rng = np.random.RandomState(seed)
         self.depth_noise = depth_noise
+        self.aug_depth_range = aug_depth_range
+        self.pad_interval = pad_interval
 
     def _db(self, scene_dir: str) -> VGNSynDatabase:
         import os
@@ -89,14 +112,22 @@ class VGNSynDataset:
     def sample(self):
         rng = self.rng
         db = self._db(self.scenes[rng.randint(0, len(self.scenes))])
-        que_id = rng.randint(0, len(db))
-        ref_ids = select_ref_views(self.n_views, que_id, rng)
+        ref_ids, que_id = get_ref_que_ids(rng, min(TOTAL_VIEWS, len(db)),
+                                          self.n_views)
 
         imgs = np.stack([db.get_image(i) for i in ref_ids])
         que_img = db.get_image(que_id)[None]
         poses = np.stack([db.get_pose(i) for i in ref_ids])
         Ks = np.stack([db.get_K(i) for i in ref_ids])
         dr = np.stack([db.get_depth_range(i) for i in ref_ids])
+        que_dr = db.get_depth_range(que_id)[None]
+
+        # depth-range aug + consistent range across ref+que (ref :271-279,
+        # :320-334, applied to the concatenated ranges at :354-362)
+        dr_all = np.concatenate([dr, que_dr], 0)
+        if self.aug_depth_range:
+            dr_all = random_change_depth_range(dr_all, rng)
+        dr, que_dr = consistent_depth_range(dr_all[:-1], dr_all[-1:])
 
         depths = [db.get_depth(i) for i in ref_ids]
         if all(d is not None for d in depths):
@@ -105,6 +136,12 @@ class VGNSynDataset:
             true_depth = np.stack(depths)[..., None].astype(np.float32)
         else:
             true_depth = None
+
+        # reflect-pad ref images (+aligned depth) to /pad_interval
+        padded = pad_imgs_to_interval(
+            {"imgs": imgs, "true_depth": true_depth},
+            self.pad_interval)
+        imgs, true_depth = padded["imgs"], padded.get("true_depth")
 
         mask = db.get_mask(que_id)
         if mask is None:
@@ -135,7 +172,7 @@ class VGNSynDataset:
                 "que": {"imgs": que_img, "coords": coords,
                         "poses": db.get_pose(que_id)[None],
                         "Ks": db.get_K(que_id)[None],
-                        "depth_range": db.get_depth_range(que_id)[None]},
+                        "depth_range": que_dr},
                 "grasp_index": idx,
             },
             "sdf_gt": sdf_gt,

@@ -31,7 +31,7 @@ import flax.linen as nn
 
 from ..ops import geometry
 from ..ops.interpolate import interpolate_feats, interpolate_feature_map
-from ..ops.tsdf import grid_points
+from ..ops.tsdf import grid_points_device
 from .nn_blocks import ResUNetLight, RayFeatInitNet, VisEncoder
 from .dist_decoder import MixtureLogisticsDistDecoder, compute_prob
 from .aggregator import NeusAggregationNet
@@ -208,7 +208,7 @@ class NeuralRayRenderer(nn.Module):
         volume flipped back on output). Returns [res,res,res] (x,y,z order).
         """
         res = self.volume_resolution
-        pts = jnp.asarray(grid_points(res, self.volume_size)) + ref["bbox3d_min"]
+        pts = grid_points_device(res, self.volume_size) + ref["bbox3d_min"]
         que_pts = pts.reshape(1, res * res, res, 3)[:, :, ::-1]
         que_pts = self._shard_rays(que_pts)
 

@@ -35,6 +35,24 @@ def grid_points(resolution: int = RESOLUTION, volume_size: float = VOLUME_SIZE) 
 TSDF_SAMPLE_POINTS = grid_points()
 
 
+def grid_points_device(resolution: int = RESOLUTION,
+                       volume_size: float = VOLUME_SIZE) -> jnp.ndarray:
+    """grid_points computed with on-device iota (same values/order).
+
+    Use this inside jitted graphs: a numpy constant of res^3 x 3 floats would
+    be embedded in the executable as a literal, which both slows compilation
+    and — on remote-execution backends — gets re-materialized per call. The
+    iota form compiles to three broadcasts and costs nothing.
+    """
+    voxel = volume_size / resolution
+    shape = (resolution, resolution, resolution)
+    ix = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    iy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    iz = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    g = (jnp.stack([ix, iy, iz], -1) + 0.5) * voxel
+    return g.reshape(-1, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "resolution"))
 def integrate_tsdf(depth_imgs, Ks, extrinsics, size: float = VOLUME_SIZE,
                    resolution: int = RESOLUTION):

@@ -46,15 +46,30 @@ def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Scene batches: leading batch axis on `data`; per-ray arrays additionally
-    split rays on `space` (keys 'coords' and anything ray-indexed)."""
+def shard_batch(mesh: Mesh, batch, scene_axis: bool = False):
+    """Place a training batch on the mesh.
+
+    scene_axis=False (single scene, ref batch_size=1): everything replicated
+    except ray coords, whose ray axis splits on `space`.
+
+    scene_axis=True (scene-batched): the leading scene axis of EVERY array
+    shards on `data`; ray coords additionally split rays on `space`
+    (coords [S, qn, rn, 2] → P(data, None, space)). The scene count must be a
+    multiple of the data-axis size.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
     def spec_for(path, x):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name in ("coords",):
-            # [qn, rn, 2] → rays on space
-            return NamedSharding(mesh, P(None, SPACE_AXIS))
-        return NamedSharding(mesh, P())
+        lead = (DATA_AXIS,) if scene_axis else ()
+        if scene_axis and (np.ndim(x) == 0 or x.shape[0] % n_data != 0):
+            return NamedSharding(mesh, P())
+        if name == "coords":
+            # rays on space: [*, qn, rn, 2]
+            return NamedSharding(mesh, P(*lead, None, SPACE_AXIS))
+        if not scene_axis:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*lead))
 
     return jax.tree_util.tree_map_with_path(
         lambda p, x: jax.device_put(x, spec_for(p, x)), batch)

@@ -1,5 +1,5 @@
 from .transform import Transform, Rotation
-from .world import AnalyticWorld, PybulletWorld, Label
+from .world import AnalyticWorld, SimWorld, Label
 from .grasp import Grasp, to_voxel_coordinates, from_voxel_coordinates
 from .objects import (PrimObject, PrimScene, random_object, TYPE_SPHERE,
                       TYPE_BOX, TYPE_CYLINDER, TYPE_CAPSULE)

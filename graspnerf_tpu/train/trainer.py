@@ -2,18 +2,27 @@
 
   - one donated-buffer jitted train step: forward (render + volume + grasp
     head) → summed losses → grad → Adam with staircase-decay LR
-  - runs under an optional (data, space) Mesh: rays/voxels sharded, params
-    replicated, gradient psum inserted by XLA and overlapped with backward
+  - scene-batched data parallelism the reference never had (its multi-GPU
+    path raises NotImplementedError — ref trainer.py:77-78): a leading scene
+    axis is vmapped per-scene and sharded over the `data` mesh axis
+    (jax.vmap(..., spmd_axis_name="data")), while rays / TSDF-grid columns
+    shard over `space`; params replicated; gradient psum inserted by XLA and
+    overlapped with backward
+  - asynchronous host pipeline: the next batch is fetched + transferred while
+    the device executes the current step (pairs with data.prefetch worker
+    threads); data-wait time is logged separately from step time
   - periodic validation with `loss_vgn` as the model-selection key (lower
     better, ref configs/nrvgn_sdf.yaml:37-38), latest/best checkpoints, JSONL
     metric log
 
-Batch contract (one scene per step, like the reference's batch_size=1):
+Single-scene batch contract (ref batch_size=1):
   batch = {
     "data":   renderer data dict (+ "grasp_index" [G,3]),
     "true_depth": [V,H,W,1], "sdf_gt": [res,res,res],
     "grasp_label": [G], "grasp_rot": [G,2,4], "grasp_width": [G],
   }
+Scene-batched contract (scene_batch=True): same tree with a leading S axis on
+every array (data.prefetch.collate_scenes produces it).
 """
 from __future__ import annotations
 
@@ -62,19 +71,52 @@ def make_loss_fn(model: GraspNeRF) -> Callable:
     return loss_fn
 
 
+def make_batched_loss_fn(model: GraspNeRF,
+                         spmd_axis: Optional[str] = None) -> Callable:
+    """Loss over a leading scene axis: vmap per scene, mean across scenes.
+
+    When `spmd_axis` names a mesh axis, vmap's spmd_axis_name prepends it to
+    every in-model sharding constraint so the scene axis is data-parallel.
+    """
+    def per_scene(params, batch, key):
+        outputs = model.apply({"params": params}, batch["data"], train=True,
+                              key=key)
+        ld = compute_losses(outputs, batch)
+        ld["total"] = L.total_loss(ld)
+        return ld
+
+    vmapped = jax.vmap(per_scene, in_axes=(None, 0, 0),
+                       spmd_axis_name=spmd_axis)
+
+    def loss_fn(params, batch, key):
+        n = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        keys = jax.random.split(key, n)
+        ld = vmapped(params, batch, keys)
+        ld = jax.tree_util.tree_map(jnp.mean, ld)
+        return ld["total"], ld
+    return loss_fn
+
+
 def create_train_state(model: GraspNeRF, example_batch, key,
-                       lr_cfg: Optional[dict] = None) -> TrainState:
-    params = model.init(key, example_batch["data"], train=True,
+                       lr_cfg: Optional[dict] = None,
+                       scene_batch: bool = False) -> TrainState:
+    ex = example_batch
+    if scene_batch:
+        ex = jax.tree_util.tree_map(lambda x: x[0], example_batch)
+    params = model.init(key, ex["data"], train=True,
                         key=jax.random.PRNGKey(0))["params"]
     tx = optax.adam(exp_decay_lr(**(lr_cfg or {})))
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_train_step(model: GraspNeRF, out_sharding=None):
+def make_train_step(model: GraspNeRF, out_sharding=None,
+                    scene_batch: bool = False,
+                    spmd_axis: Optional[str] = None):
     """out_sharding: optional sharding (e.g. replicated NamedSharding) applied
     to the step outputs — pins XLA's auto-propagated output shardings to
     something expressible on the mesh."""
-    loss_fn = make_loss_fn(model)
+    loss_fn = (make_batched_loss_fn(model, spmd_axis) if scene_batch
+               else make_loss_fn(model))
 
     def step_fn(state: TrainState, batch, key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -99,14 +141,21 @@ def make_eval_step(model: GraspNeRF):
 
 
 class Trainer:
-    """Step loop + validation + checkpointing (ref trainer.py run/val flow)."""
+    """Step loop + validation + checkpointing (ref trainer.py run/val flow).
+
+    mesh: optional jax.sharding.Mesh with (data, space) axes — enables SPMD
+    training (scene batch on `data`, rays on `space`). scene_batch: the train
+    iterator yields trees with a leading scene axis.
+    """
 
     def __init__(self, model: GraspNeRF, train_iter: Iterator,
                  val_batches=None, workdir: str = "data/train",
                  total_steps: int = 500_000, val_interval: int = 5000,
                  save_interval: int = 1000, lr_cfg: Optional[dict] = None,
                  key_metric: str = "loss_vgn", log_every: int = 50,
-                 seed: int = 0, tensorboard: bool = True):
+                 seed: int = 0, tensorboard: bool = True,
+                 mesh=None, scene_batch: bool = False,
+                 val_image_dir: Optional[str] = None):
         self.model = model
         self.train_iter = train_iter
         self.val_batches = val_batches or []
@@ -116,6 +165,9 @@ class Trainer:
         self.save_interval = save_interval
         self.key_metric = key_metric
         self.log_every = log_every
+        self.mesh = mesh
+        self.scene_batch = scene_batch
+        self.val_image_dir = val_image_dir
         os.makedirs(workdir, exist_ok=True)
         self.ckpt = CheckpointManager(os.path.join(workdir, "ckpt"))
         self.log_path = os.path.join(workdir, "metrics.jsonl")
@@ -140,6 +192,18 @@ class Trainer:
                 if isinstance(v, float):
                     self.tb.add_scalar(prefix + k, v, rec["step"])
 
+    # ------------------------------------------------------------- helpers
+    def _to_device(self, batch):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            return shard_batch(self.mesh, batch,
+                               scene_axis=self.scene_batch)
+        return jax.tree_util.tree_map(jnp.asarray, batch)
+
+    def _pop_data_wait(self) -> Optional[float]:
+        pop = getattr(self.train_iter, "pop_data_wait", None)
+        return pop() if pop is not None else None
+
     def validate(self, params) -> Dict[str, float]:
         eval_step = getattr(self, "_eval_step", None)
         if eval_step is None:
@@ -151,9 +215,43 @@ class Trainer:
                 agg.setdefault(k, []).append(float(v))
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
+    def _dump_val_images(self, params, step: int, stride: int = 4):
+        """Side-by-side pred/GT dumps during validation (ref metrics.py:86-114
+        VisualizeImage): renders the first val batch's query view on a
+        stride-subsampled pixel grid."""
+        if not self.val_batches or self.val_image_dir is None:
+            return
+        try:
+            from .metrics import visualize_image
+            batch = self.val_batches[0]
+            que = batch["data"]["que"]
+            h, w = que["imgs"].shape[1:3]
+            ys = np.arange(0, h, stride)
+            xs = np.arange(0, w, stride)
+            gx, gy = np.meshgrid(xs, ys)
+            coords = jnp.asarray(
+                np.stack([gx, gy], -1).reshape(1, -1, 2).astype(np.float32))
+            data = {"ref": batch["data"]["ref"],
+                    "que": {"coords": coords, "poses": que["poses"],
+                            "Ks": que["Ks"],
+                            "depth_range": que["depth_range"]}}
+            outputs = self.model.apply({"params": params}, data, train=False,
+                                       key=None)
+            key = ("pixel_colors_nr_fine" if "pixel_colors_nr_fine" in outputs
+                   else "pixel_colors_nr")
+            if key not in outputs:
+                return
+            pred = np.asarray(outputs[key]).reshape(len(ys), len(xs), 3)
+            gt = np.asarray(que["imgs"][0])[ys[:, None], xs[None, :]]
+            visualize_image(pred, gt, self.val_image_dir, step)
+        except Exception as e:  # visualization must never kill training
+            self._log({"step": step, "val_image_error": str(e)})
+
+    # ----------------------------------------------------------------- run
     def run(self, max_steps: Optional[int] = None):
-        batch = next(self.train_iter)
-        state = create_train_state(self.model, batch, self.rng, self.lr_cfg)
+        batch = self._to_device(next(self.train_iter))
+        state = create_train_state(self.model, batch, self.rng, self.lr_cfg,
+                                   scene_batch=self.scene_batch)
         best = np.inf
         restored = self.ckpt.restore(
             {"params": state.params, "opt_state": state.opt_state})
@@ -163,25 +261,53 @@ class Trainer:
             state = state.replace(params=tree["params"],
                                   opt_state=tree["opt_state"],
                                   step=start_step)
-        train_step = make_train_step(self.model)
+        out_sharding = None
+        spmd_axis = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+            rep = NamedSharding(self.mesh, P())
+            out_sharding = rep
+            spmd_axis = DATA_AXIS if self.scene_batch else None
+            state = jax.device_put(state, rep)
+        train_step = make_train_step(self.model, out_sharding=out_sharding,
+                                     scene_batch=self.scene_batch,
+                                     spmd_axis=spmd_axis)
         steps = max_steps or self.total_steps
-        t0 = time.time()
+        if self.scene_batch:
+            n_scenes = batch["sdf_gt"].shape[0]
+            n_rays = batch["data"]["que"]["coords"].shape[2]
+            res = batch["sdf_gt"].shape[-1]
+        else:
+            n_scenes = 1
+            n_rays = batch["data"]["que"]["coords"].shape[1]
+            res = batch["sdf_gt"].shape[-1]
+        metrics = None
+        t0 = time.perf_counter()
+        self._pop_data_wait()
         for step in range(start_step, steps):
             self.rng, k = jax.random.split(self.rng)
             state, metrics = train_step(state, batch, k)
+            # fetch + transfer the next batch while the device executes
+            # (dispatch above is async; prefetch workers fill the queue)
+            batch = self._to_device(next(self.train_iter))
             if (step + 1) % self.log_every == 0:
-                sec = (time.time() - t0) / self.log_every
-                n_rays = batch["data"]["que"]["coords"].shape[1]
-                res = batch["sdf_gt"].shape[-1]
+                jax.block_until_ready(metrics)
+                sec = (time.perf_counter() - t0) / self.log_every
                 rec = {"step": step + 1, "sec_per_step": sec,
-                       "rays_per_s": n_rays * 80 / sec,       # 40+40 samples
-                       "tsdf_queries_per_s": res ** 3 / sec,
+                       "scenes_per_s": n_scenes / sec,
+                       "rays_per_s": n_scenes * n_rays / sec,
+                       "tsdf_queries_per_s": n_scenes * res ** 3 / sec,
                        **{k_: float(v) for k_, v in metrics.items()}}
+                wait = self._pop_data_wait()
+                if wait is not None:
+                    rec["data_wait_per_step"] = wait / self.log_every
                 self._log(rec)
-                t0 = time.time()
+                t0 = time.perf_counter()
             if (step + 1) % self.val_interval == 0 and self.val_batches:
                 val = self.validate(state.params)
                 self._log({"step": step + 1, "val": True, **val})
+                self._dump_val_images(state.params, step + 1)
                 best = self.ckpt.save(
                     {"params": state.params, "opt_state": state.opt_state},
                     step + 1, key_metric=val.get(self.key_metric), best=best)
@@ -189,5 +315,4 @@ class Trainer:
                 best = self.ckpt.save(
                     {"params": state.params, "opt_state": state.opt_state},
                     step + 1, best=best)
-            batch = next(self.train_iter)
         return state

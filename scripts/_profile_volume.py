@@ -1,4 +1,9 @@
-"""Dev profiling: stage timings inside the volume query (chained, on-TPU)."""
+"""Dev profiling: stage timings inside the volume query (chained, on-TPU).
+
+All tensors are passed as jit ARGUMENTS — closure/np constants embedded in
+the graph are re-materialized per call on the axon remote backend (~20 ms/MB)
+and would swamp the numbers (see bench.py / ops/tsdf.py grid_points_device).
+"""
 import sys, time
 from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -10,8 +15,7 @@ import jax.numpy as jnp
 from graspnerf_tpu.models import NeuralRayRenderer
 from graspnerf_tpu.models.renderer import project_to_views
 from graspnerf_tpu.data import SyntheticSceneDataset
-from graspnerf_tpu.ops import geometry
-from graspnerf_tpu.ops.tsdf import grid_points
+from graspnerf_tpu.ops.tsdf import grid_points_device
 
 
 def chain_time(f, *args, n=30):
@@ -36,24 +40,35 @@ def main():
     r = NeuralRayRenderer(render_rgb=False, use_depth_loss=False,
                           compute_dtype="bfloat16")
     v = r.init(jax.random.PRNGKey(0), {"ref": ref}, train=False)
+
+    # stage 0: CNN encoders
+    def enc_f(v, ref, fb):
+        imgs = ref["imgs"] * (1 + 1e-9 * fb)
+        imf, rayf = r.apply(v, {"imgs": imgs},
+                            method=lambda m, rr: m.encode_views(rr))
+        return jnp.mean(imf) + jnp.mean(rayf)
+    print("encoders", round(chain_time(enc_f, v, ref), 2), "ms", flush=True)
+
     imf, rayf = jax.jit(lambda v, imgs: r.apply(
         v, {"imgs": imgs}, method=lambda m, rr: m.encode_views(rr)))(
             v, ref["imgs"])
     jax.block_until_ready((imf, rayf))
 
     res = 40
-    pts = jnp.asarray(grid_points(res, 0.3)) + ref["bbox3d_min"]
-    que_pts = pts.reshape(1, res * res, res, 3)[:, :, ::-1]
+    que_pts = jax.jit(lambda b: (grid_points_device(res, 0.3) + b)
+                      .reshape(1, res * res, res, 3)[:, :, ::-1])(
+                          ref["bbox3d_min"])
 
     # stage 1: projection + gathers
-    def prj_f(ref, imf, rayf, fb):
+    def prj_f(ref, imf, rayf, que_pts, fb):
         prj = project_to_views(ref, que_pts * (1 + 1e-9 * fb), imf, rayf)
-        return jnp.mean(prj["ray_feats"]) + jnp.mean(prj["img_feats"])
-    print("project+gather", round(chain_time(prj_f, ref, imf, rayf), 2), "ms",
-          flush=True)
+        return (jnp.mean(prj["ray_feats"]) + jnp.mean(prj["img_feats"])
+                + jnp.mean(prj["rgb"]) + jnp.mean(prj["dir"]))
+    print("project+gather", round(chain_time(prj_f, ref, imf, rayf, que_pts),
+                                  2), "ms", flush=True)
 
-    prj = jax.jit(lambda ref, a, b: project_to_views(ref, que_pts, a, b))(
-        ref, imf, rayf)
+    prj = jax.jit(lambda ref, a, b, q: project_to_views(ref, q, a, b))(
+        ref, imf, rayf, que_pts)
     jax.block_until_ready(prj)
 
     # stage 2: dist decoder + prob
@@ -71,17 +86,25 @@ def main():
         m._predict_ray_prob(m.dist_decoder, pp, dr, None)))(v, prj, ref)
     jax.block_until_ready(prj2)
 
-    # stage 3: aggregator (sdf only)
-    que_dir = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                               (1, res * res, res, 3))
-
-    def agg_f(v, prj2, fb):
+    # stage 3: aggregator (sdf only — grad path DCEs like in sample_volume)
+    def agg_f(v, prj2, que_pts, fb):
         p = dict(prj2)
         p["ray_feats"] = prj2["ray_feats"] * (1 + 1e-9 * fb)
+        que_dir = jnp.zeros_like(que_pts).at[..., 2].set(1.0)
         out = r.apply(v, p, que_dir, que_pts, method=lambda m, pp, qd, qp:
                       m.agg_net(pp, qd, qp, None))
         return jnp.mean(out["sdf"])
-    print("aggregator", round(chain_time(agg_f, v, prj2), 2), "ms", flush=True)
+    print("aggregator", round(chain_time(agg_f, v, prj2, que_pts), 2), "ms",
+          flush=True)
+
+    # stage 4: full sample_volume via the model method
+    def vol_f(v, ref, fb):
+        rr = dict(ref)
+        rr["imgs"] = ref["imgs"] * (1 + 1e-9 * fb)
+        out = r.apply(v, {"ref": rr}, train=False)
+        return jnp.mean(out["volume"])
+    print("full volume fwd", round(chain_time(vol_f, v, ref), 2), "ms",
+          flush=True)
 
 
 if __name__ == "__main__":

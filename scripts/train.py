@@ -1,12 +1,18 @@
-"""Training CLI (ref: train.sh + run_training.py).
+"""Training CLI (ref: train.sh + run_training.py:9-10 `Trainer(load_cfg(cfg)).run()`).
 
-Trains GraspNeRF end-to-end (renderer + grasp head). Without --data-dir it
-trains on the procedural synthetic dataset (graspnerf_tpu/data/synthetic.py);
-with --data-dir it expects the reference vgn_syn file contract.
+Trains GraspNeRF end-to-end (renderer + grasp head). Configuration comes from
+a YAML file (--cfg, same key scheme as the reference's configs/nrvgn_sdf.yaml)
+with CLI overrides. Without --data-dir it trains on the procedural synthetic
+dataset (graspnerf_tpu/data/synthetic.py); with --data-dir it expects the
+reference vgn_syn file contract.
+
+SPMD: --mesh DATA,SPACE builds a (data, space) device mesh — scenes shard over
+`data` (use --scenes-per-batch >= data size), rays/TSDF columns over `space`.
 
 Usage:
-  python scripts/train.py --steps 1000 --workdir data/run0
-  python scripts/train.py --small          # tiny shapes for smoke runs
+  python scripts/train.py --cfg configs/nrvgn_sdf.yaml --steps 1000
+  python scripts/train.py --small                         # smoke run
+  python scripts/train.py --mesh 2,4 --scenes-per-batch 2 # 8-device SPMD
 """
 import argparse
 import sys
@@ -17,54 +23,107 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default=None, help="YAML config path")
     p.add_argument("--workdir", default="data/train")
-    p.add_argument("--steps", type=int, default=500_000)
-    p.add_argument("--val-interval", type=int, default=5000)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--val-interval", type=int, default=None)
     p.add_argument("--save-interval", type=int, default=1000)
     p.add_argument("--height", type=int, default=288)
     p.add_argument("--width", type=int, default=512)
-    p.add_argument("--rays", type=int, default=512)
+    p.add_argument("--rays", type=int, default=None)
     p.add_argument("--small", action="store_true",
                    help="tiny shapes (64x64, res 16) for smoke testing")
     p.add_argument("--data-dir", default=None,
                    help="vgn_syn dataset root (reference file contract); "
                         "defaults to the synthetic generator")
+    p.add_argument("--sdf-dir", default=None)
+    p.add_argument("--grasp-dir", default=None)
+    p.add_argument("--mesh", default=None,
+                   help="DATA,SPACE mesh shape over jax.devices(), e.g. 2,4")
+    p.add_argument("--scenes-per-batch", type=int, default=1)
+    p.add_argument("--workers", type=int, default=4,
+                   help="prefetch worker threads (0 = synchronous)")
+    p.add_argument("--compute-dtype", default=None,
+                   choices=[None, "float32", "bfloat16"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
     import jax
-    from graspnerf_tpu.models import GraspNeRF
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(args.workdir) / ".jax_cache"))
+    from graspnerf_tpu.config import (load_cfg, renderer_cfg_from,
+                                      trainer_cfg_from)
     from graspnerf_tpu.data import SyntheticSceneDataset
+    from graspnerf_tpu.data.prefetch import PrefetchLoader, collate_scenes
     from graspnerf_tpu.train import Trainer
 
-    cfg = {}
+    ycfg = load_cfg(args.cfg) if args.cfg else {}
+    rcfg = renderer_cfg_from(ycfg)
+    tcfg = trainer_cfg_from(ycfg)
+    if args.steps is not None:
+        tcfg["total_steps"] = args.steps
+    if args.val_interval is not None:
+        tcfg["val_interval"] = args.val_interval
+    n_rays = args.rays or ycfg.get("ray_num", 512)
+    if args.compute_dtype:
+        rcfg["compute_dtype"] = args.compute_dtype
+
     if args.small:
         args.height = args.width = 64
-        cfg["volume_resolution"] = 16
+        rcfg["volume_resolution"] = 16
+    res = rcfg.get("volume_resolution", 40)
+
+    mesh = None
+    if args.mesh:
+        from graspnerf_tpu.parallel import make_mesh, SPACE_AXIS
+        n_data, n_space = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(n_data, n_space)
+        rcfg["space_axis"] = SPACE_AXIS
+        if args.scenes_per_batch % n_data != 0:
+            p.error("--scenes-per-batch must be a multiple of the data-axis "
+                    f"size ({n_data})")
 
     if args.data_dir:
         from graspnerf_tpu.data.dataset import VGNSynDataset
-        ds = VGNSynDataset(args.data_dir, n_rays=args.rays, seed=args.seed)
-        val = [ds.sample() for _ in range(4)]
+
+        def factory(seed):
+            return VGNSynDataset(args.data_dir, sdf_root=args.sdf_dir,
+                                 grasp_root=args.grasp_dir, n_rays=n_rays,
+                                 seed=seed)
     else:
-        res = cfg.get("volume_resolution", 40)
-        ds = SyntheticSceneDataset(h=args.height, w=args.width,
-                                   n_rays=args.rays, seed=args.seed,
-                                   resolution=res)
-        val_ds = SyntheticSceneDataset(h=args.height, w=args.width,
-                                       n_rays=args.rays, seed=args.seed + 777,
-                                       resolution=res)
-        val = [jax.tree_util.tree_map(jax.numpy.asarray, val_ds.sample())
-               for _ in range(2)]
+        def factory(seed):
+            return SyntheticSceneDataset(h=args.height, w=args.width,
+                                         n_rays=n_rays, seed=seed,
+                                         resolution=res)
 
-    def batches():
-        for b in ds:
-            yield jax.tree_util.tree_map(jax.numpy.asarray, b)
+    val_ds = factory(args.seed + 777_777)
+    val = [jax.tree_util.tree_map(jax.numpy.asarray, val_ds.sample())
+           for _ in range(2)]
 
-    model = GraspNeRF(renderer_cfg=cfg)
-    trainer = Trainer(model, batches(), val_batches=val, workdir=args.workdir,
-                      total_steps=args.steps, val_interval=args.val_interval,
-                      save_interval=args.save_interval, seed=args.seed)
+    if args.workers > 0:
+        train_iter = PrefetchLoader(factory, num_workers=args.workers,
+                                    scenes_per_batch=args.scenes_per_batch,
+                                    seed=args.seed)
+    else:
+        ds = factory(args.seed)
+
+        def sync_batches():
+            while True:
+                yield collate_scenes(
+                    [ds.sample() for _ in range(args.scenes_per_batch)])
+        train_iter = sync_batches()
+
+    from graspnerf_tpu.config import name2network, _populate
+    _populate()
+    cls = name2network[ycfg.get("network", "grasp_nerf")]
+    model = cls(renderer_cfg=rcfg)
+
+    trainer = Trainer(model, train_iter, val_batches=val,
+                      workdir=args.workdir,
+                      save_interval=args.save_interval, seed=args.seed,
+                      mesh=mesh, scene_batch=True,
+                      val_image_dir=str(Path(args.workdir) / "vis_val"),
+                      **tcfg)
     trainer.run()
 
 

@@ -116,3 +116,24 @@ def rand_cameras(rng, n, h, w, radius=0.5, center=(0.0, 0.0, 0.05)):
         Ks.append(np.array([[f, 0, w / 2 - 0.5], [0, f, h / 2 - 0.5], [0, 0, 1]], np.float32))
     import numpy as np
     return np.stack(poses), np.stack(Ks)
+
+
+def load_reference_function(relpath: str, funcname: str, globals_extra=None):
+    """Extract ONE function from a reference source file by AST and exec it,
+    avoiding module-level side effects (e.g. dataset/train_dataset.py imports
+    asset.py which eagerly loads CSVs). Returns the compiled function."""
+    import ast
+
+    path = f"{REF}/{relpath}"
+    with open(path) as f:
+        tree = ast.parse(f.read(), filename=path)
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == funcname:
+            mod = ast.Module(body=[node], type_ignores=[])
+            code = compile(mod, filename=path, mode="exec")
+            import numpy as np
+            ns = {"np": np, "numpy": np}
+            ns.update(globals_extra or {})
+            exec(code, ns)
+            return ns[funcname]
+    raise KeyError(f"{funcname} not found in {relpath}")

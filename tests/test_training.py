@@ -129,3 +129,88 @@ def test_checkpoint_crash_safe(tmp_path, model_and_state):
     # latest/best are symlinks into an immutable step dir
     assert os.path.islink(str(tmp_path / "ckpt" / "latest"))
     assert os.path.islink(str(tmp_path / "ckpt" / "best"))
+
+
+def test_scene_batched_dp_matches_single_device():
+    """A 4-scene batch trained on a (4, 2) mesh (scenes on `data` via
+    vmap(spmd_axis_name), rays on `space`) must match the same batched step
+    on one device (SURVEY §2.8: DP over scenes — the thing the reference
+    never had)."""
+    from graspnerf_tpu.data.prefetch import collate_scenes
+    from graspnerf_tpu.parallel import shard_batch, DATA_AXIS
+    from graspnerf_tpu.train import make_batched_loss_fn
+
+    samples = [jax.tree_util.tree_map(np.asarray, tiny_batch(seed=s))
+               for s in range(4)]
+    batch = jax.tree_util.tree_map(jnp.asarray, collate_scenes(samples))
+
+    model = GraspNeRF(renderer_cfg=dict(CFG))
+    state0 = create_train_state(model, batch, jax.random.PRNGKey(0),
+                                scene_batch=True)
+
+    single = make_train_step(model, scene_batch=True)
+    s1, m1 = single(jax.tree_util.tree_map(jnp.copy, state0), batch,
+                    jax.random.PRNGKey(7))
+
+    mesh = make_mesh(4, 2)
+    sharded_model = GraspNeRF(renderer_cfg=dict(CFG, space_axis=SPACE_AXIS))
+    with jax.set_mesh(mesh):
+        rep = NamedSharding(mesh, P())
+        state = jax.device_put(jax.tree_util.tree_map(jnp.copy, state0), rep)
+        b = shard_batch(mesh, batch, scene_axis=True)
+        # scene axis really lands on `data`
+        spec = b["data"]["que"]["coords"].sharding.spec
+        assert spec[0] == DATA_AXIS
+        step = make_train_step(sharded_model, out_sharding=rep,
+                               scene_batch=True, spmd_axis=DATA_AXIS)
+        s2, m2 = step(state, b, jax.random.PRNGKey(7))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-3,
+                                   atol=2e-4, err_msg=k)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    # Adam divides by sqrt(v)+eps at step 1, amplifying reduction-order fp
+    # noise from the cross-device scene mean to O(lr); allow a few lr units
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-4
+
+
+def test_batched_loss_is_mean_of_scenes():
+    """make_batched_loss_fn == mean of per-scene losses (same rng split)."""
+    from graspnerf_tpu.data.prefetch import collate_scenes
+    from graspnerf_tpu.train import make_batched_loss_fn, make_loss_fn
+
+    samples = [jax.tree_util.tree_map(np.asarray, tiny_batch(seed=s))
+               for s in range(2)]
+    batch = jax.tree_util.tree_map(jnp.asarray, collate_scenes(samples))
+    model = GraspNeRF(renderer_cfg=dict(CFG))
+    state = create_train_state(model, batch, jax.random.PRNGKey(0),
+                               scene_batch=True)
+
+    key = jax.random.PRNGKey(3)
+    total_b, ld_b = jax.jit(make_batched_loss_fn(model))(state.params, batch,
+                                                         key)
+    keys = jax.random.split(key, 2)
+    lf = make_loss_fn(model)
+    totals = []
+    for i in range(2):
+        b_i = jax.tree_util.tree_map(lambda x, i=i: x[i], batch)
+        t_i, _ = lf(state.params, b_i, keys[i])
+        totals.append(float(t_i))
+    np.testing.assert_allclose(float(total_b), np.mean(totals), rtol=1e-5)
+
+
+def test_prefetch_loader_overlaps_and_collates():
+    from graspnerf_tpu.data.prefetch import PrefetchLoader
+
+    def factory(seed):
+        return SyntheticSceneDataset(h=32, w=32, n_rays=16, n_grasps=8,
+                                     seed=seed, fuse_views=6, resolution=16)
+
+    loader = PrefetchLoader(factory, num_workers=2, scenes_per_batch=2,
+                            buffer_size=4, seed=0)
+    b = next(loader)
+    assert b["sdf_gt"].shape[0] == 2
+    assert b["data"]["que"]["coords"].shape[:2] == (2, 1)
+    b2 = next(loader)
+    assert np.isfinite(loader.pop_data_wait())
+    loader.close()
