@@ -9,25 +9,29 @@
    6 source views at 288x512, one 4096-ray batch, 40 coarse + 40 fine
    samples/ray, full color + depth compositing. Reported as rays/s.
 
-Methodology: inputs live on-device and are passed as ARGUMENTS (never closed
-over: graph-embedded constants are re-materialized per call on the axon
-remote-execution backend, ~20 ms/MB — see ops/tsdf.py grid_points_device).
-Iterations are chained through a data dependency (each step's images are
-perturbed by the previous result) so the device cannot overlap or elide work,
-and the host syncs once at the end (per-iteration sync costs a tunnel
-round-trip).
+Methodology (slope timing — required for honesty on this backend):
+the axon remote-execution backend has two quirks (measured round 3):
+(a) before the first device→host transfer, block_until_ready() does NOT
+    actually block, so naive chained timings read 100-1000x too fast;
+(b) after any D2H, every dispatch pays a fixed synchronous round-trip.
+So each measurement chains N calls through a data dependency (each step's
+images perturbed by the previous scalar result), forces real completion with
+one D2H, and reports (T(n2) - T(n1)) / (n2 - n1). Inputs are built in pure
+numpy (no device round-trips) and live on-device as call ARGUMENTS (closure
+constants re-materialize per call on this backend).
 
 MFU: XLA's own cost analysis (compiled.cost_analysis()['flops']) divided by
-wall time and the v5e-lite peak (197 TFLOP/s bf16). These paths are
-gather/VPU-heavy, so low MFU is expected; the roofline check that matters is
-HBM bytes/s, also reported.
+wall time and the v5e-lite peak (197 TFLOP/s bf16). These are XLA's logical
+FLOPs, not hardware counters; the paths are gather/VPU-heavy so low MFU is
+expected. (The r02 'hbm_frac' fields were dropped: cost_analysis
+'bytes accessed' counts logical bytes and produced >1.0 nonsense.)
 
-Baselines: the reference repo publishes NO numbers (BASELINE.md). The volume
+Baselines: the reference repo publishes NO numbers (BASELINE.md), and no A100
+measurement of the PyTorch reference exists in this environment — the volume
 anchor is the paper's "real-time" claim read as ~10 volume inferences/s on a
-desktop GPU → 640k TSDF-queries/s. vs_baseline = ours / that anchor. The
-render-path baseline target from BASELINE.json is ">=5x rays/s/chip vs A100
-PyTorch"; absent a published A100 number, rays/s is reported absolute with
-step time + MFU so the judge can roofline-check it.
+desktop GPU → 640k TSDF-queries/s (same anchor as rounds 1-2 so vs_baseline
+stays comparable). BASELINE.json's ">=5x rays/s/chip vs A100 PyTorch" target
+is reported as absolute rays/s + step time for roofline checking.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -36,38 +40,60 @@ import time
 
 import jax
 jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 import jax.numpy as jnp
+import numpy as np
 
 REF_BASELINE_TSDF_QPS = 640_000.0  # ~10 Hz x 64k queries (PyTorch ref GPU)
 PEAK_BF16_FLOPS = 197e12           # TPU v5e-lite, one chip
-PEAK_HBM_BPS = 819e9
+N1, N2 = 3, 33
 
 
-def _chain_time(step, params, ref, n_iter=30, n_warm=3):
+def slope_time(step, *args):
+    """Median-free honest timing: chain calls, force with one D2H, diff two
+    chain lengths. Returns seconds/call."""
     fb = jnp.float32(0.0)
-    fb = step(params, ref, fb)
-    fb.block_until_ready()
-    for _ in range(n_warm):
-        fb = step(params, ref, fb)
-    fb.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        fb = step(params, ref, fb)
-    fb.block_until_ready()
-    return (time.perf_counter() - t0) / n_iter
+    fb = step(*args, fb)
+    _ = float(np.asarray(fb))  # compile + force (enters degraded-sync mode)
+
+    def run(n):
+        fb = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fb = step(*args, fb)
+        _ = float(np.asarray(fb))
+        return time.perf_counter() - t0
+
+    t1 = run(N1)
+    t2 = run(N2)
+    return (t2 - t1) / (N2 - N1)
 
 
-def _cost(step, params, ref):
-    c = jax.jit(step).lower(params, ref, jnp.float32(0.0)).compile()
+def _cost_flops(step, *args):
     try:
+        c = jax.jit(step).lower(*args, jnp.float32(0.0)).compile()
         ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)), float(
-            ca.get("bytes accessed", 0.0))
+        return float(ca.get("flops", 0.0))
     except Exception:
-        return 0.0, 0.0
+        return 0.0
+
+
+def build_ref(h=288, w=512, V=6):
+    """Reference-scale scene inputs in pure numpy (no device D2H)."""
+    from graspnerf_tpu.data.synthetic import (Scene, hemisphere_poses,
+                                              intrinsics, BBOX_MIN,
+                                              DEPTH_RANGE)
+    sc = Scene(np.random.RandomState(0), 4)
+    poses = hemisphere_poses()
+    K = intrinsics(h, w)
+    rgbs = np.stack([sc.render(poses[i], K, h, w)[0] for i in range(V)])
+    return {"imgs": jnp.asarray(rgbs),
+            "poses": jnp.asarray(poses[:V]),
+            "Ks": jnp.asarray(np.tile(K[None], (V, 1, 1))),
+            "depth_range": jnp.asarray(np.tile(DEPTH_RANGE[None], (V, 1))),
+            "bbox3d_min": jnp.asarray(BBOX_MIN)}
 
 
 def bench_volume(ref):
@@ -86,14 +112,12 @@ def bench_volume(ref):
         out = model.apply({"params": params}, {"ref": r}, train=False)
         return jnp.mean(out["volume"])
 
-    dt = _chain_time(step, params, ref)
-    flops, hbm = _cost(step, params, ref)
-    return dt, flops, hbm
+    dt = slope_time(step, params, ref)
+    return dt, _cost_flops(step, params, ref)
 
 
 def bench_render(ref, n_rays=4096):
     """Render stack: 4096 rays, 40+40 samples, color+depth compositing."""
-    import numpy as np
     from graspnerf_tpu.models.renderer import NeuralRayRenderer
     model = NeuralRayRenderer(render_rgb=True, do_sample_volume=False,
                               use_depth_loss=False,
@@ -118,21 +142,15 @@ def bench_render(ref, n_rays=4096):
         return (jnp.mean(out["pixel_colors_nr_fine"])
                 + jnp.mean(out["render_depth_fine"]))
 
-    dt = _chain_time(step, params, data)
-    flops, hbm = _cost(step, params, data)
-    return dt, flops, hbm
+    dt = slope_time(step, params, data)
+    return dt, _cost_flops(step, params, data)
 
 
 def main():
-    from graspnerf_tpu.data import SyntheticSceneDataset
+    ref = build_ref()
 
-    h, w = 288, 512
-    ds = SyntheticSceneDataset(h=h, w=w, n_rays=64, seed=0, fuse_views=6)
-    batch = ds.sample()
-    ref = {k: jnp.asarray(v) for k, v in batch["data"]["ref"].items()}
-
-    vol_dt, vol_flops, vol_hbm = bench_volume(ref)
-    ren_dt, ren_flops, ren_hbm = bench_render(ref)
+    vol_dt, vol_flops = bench_volume(ref)
+    ren_dt, ren_flops = bench_render(ref)
 
     res, n_rays = 40, 4096
     qps = res ** 3 / vol_dt
@@ -147,8 +165,7 @@ def main():
         "render_ms": round(ren_dt * 1e3, 3),
         "mfu_volume": round(vol_flops / vol_dt / PEAK_BF16_FLOPS, 4),
         "mfu_render": round(ren_flops / ren_dt / PEAK_BF16_FLOPS, 4),
-        "hbm_frac_volume": round(vol_hbm / vol_dt / PEAK_HBM_BPS, 4),
-        "hbm_frac_render": round(ren_hbm / ren_dt / PEAK_HBM_BPS, 4),
+        "timing": "slope, D2H-forced (see module docstring)",
     }))
 
 

@@ -31,6 +31,7 @@ import flax.linen as nn
 
 from ..ops import geometry
 from ..ops.interpolate import interpolate_feats, interpolate_feature_map
+from ..ops.fused_gather import pack_feature_maps, fused_epipolar_gather
 from ..ops.tsdf import grid_points_device
 from .nn_blocks import ResUNetLight, RayFeatInitNet, VisEncoder
 from .dist_decoder import MixtureLogisticsDistDecoder, compute_prob
@@ -39,12 +40,18 @@ from .grasp_head import VGNConvNet
 
 
 def project_to_views(ref: Dict[str, jnp.ndarray], que_pts: jnp.ndarray,
-                     img_feats: jnp.ndarray, ray_feats: jnp.ndarray):
+                     img_feats: jnp.ndarray, ray_feats: jnp.ndarray,
+                     packed: Optional[jnp.ndarray] = None):
     """Project query points into every reference view and gather features.
 
     que_pts [qn,rn,dn,3] → dict of [V,qn,rn,dn,C] tensors: dir(3), pts(2),
     depth(1), mask(1), ray_feats(32), rgb(3), img_feats(32).
     Mirrors ref render_ops.py:82-144 (project_points_dict).
+
+    `packed` is the pack_feature_maps output; when given (the hot path) the
+    three per-map gathers collapse into one windowed gather
+    (ops/fused_gather.py — same values, ~5x faster on TPU). Without it the
+    original three-gather oracle runs (kept as the parity reference).
     """
     qn, rn, dn, _ = que_pts.shape
     pts = que_pts.reshape(-1, 3)
@@ -52,9 +59,13 @@ def project_to_views(ref: Dict[str, jnp.ndarray], que_pts: jnp.ndarray,
     xy, depth, valid = geometry.project_points(pts, ref["poses"], ref["Ks"], h, w)
     prj_dir = geometry.view_directions(pts, ref["poses"])
 
-    prj_ray_feats = interpolate_feature_map(ray_feats, xy, valid, h, w)
-    prj_rgb = interpolate_feature_map(ref["imgs"], xy, valid, h, w)
-    prj_img_feats = interpolate_feature_map(img_feats, xy, valid, h, w)
+    if packed is not None:
+        prj_rgb, prj_img_feats, prj_ray_feats = fused_epipolar_gather(
+            packed, xy, valid, h, w)
+    else:
+        prj_ray_feats = interpolate_feature_map(ray_feats, xy, valid, h, w)
+        prj_rgb = interpolate_feature_map(ref["imgs"], xy, valid, h, w)
+        prj_img_feats = interpolate_feature_map(img_feats, xy, valid, h, w)
 
     def r(x):
         return x.reshape(V, qn, rn, dn, -1)
@@ -143,7 +154,7 @@ class NeuralRayRenderer(nn.Module):
         return prj
 
     def render_by_depth(self, que_depth, que, ref, img_feats, ray_feats,
-                        is_fine: bool, train: bool):
+                        is_fine: bool, train: bool, packed=None):
         """One full render pass at the given per-ray depths
         (ref renderer.py:110-138)."""
         dist_decoder = self.fine_dist_decoder if is_fine else self.dist_decoder
@@ -153,7 +164,7 @@ class NeuralRayRenderer(nn.Module):
         que_pts, que_dir = geometry.depth2points(
             que["coords"], que["poses"], que["Ks"], que_depth)
         que_pts = self._shard_rays(que_pts)
-        prj = project_to_views(ref, que_pts, img_feats, ray_feats)
+        prj = project_to_views(ref, que_pts, img_feats, ray_feats, packed)
         prj = self._predict_ray_prob(dist_decoder, prj, ref["depth_range"],
                                      que_dists_inv)
 
@@ -181,13 +192,13 @@ class NeuralRayRenderer(nn.Module):
         return out
 
     def render_rays(self, que, ref, img_feats, ray_feats, train: bool,
-                    key=None):
+                    key=None, packed=None):
         """Coarse + hierarchical fine rendering (ref renderer.py:140-162)."""
         qn, rn, _ = que["coords"].shape
         que_depth = geometry.sample_depth(que["depth_range"], rn,
                                           self.depth_sample_num)
         out = self.render_by_depth(que_depth, que, ref, img_feats, ray_feats,
-                                   False, train)
+                                   False, train, packed)
         if self.use_hierarchical_sampling:
             fine_depth = geometry.sample_fine_depth(
                 que_depth, jax.lax.stop_gradient(out["hit_prob_nr"]),
@@ -195,12 +206,12 @@ class NeuralRayRenderer(nn.Module):
                 key if train else None)
             fine_depth = jnp.sort(fine_depth, -1)
             fine = self.render_by_depth(fine_depth, que, ref, img_feats,
-                                        ray_feats, True, train)
+                                        ray_feats, True, train, packed)
             out.update({k + "_fine": v for k, v in fine.items()})
         return out
 
     # --------------------------------------------------------------- volume
-    def sample_volume(self, ref, img_feats, ray_feats):
+    def sample_volume(self, ref, img_feats, ray_feats, packed=None):
         """Evaluate the SDF on the 40^3 workspace grid (ref renderer.py:164-199).
 
         Grid is laid out as qn=1, rn=res^2 "rays" of dn=res samples each, so the
@@ -212,7 +223,9 @@ class NeuralRayRenderer(nn.Module):
         que_pts = pts.reshape(1, res * res, res, 3)[:, :, ::-1]
         que_pts = self._shard_rays(que_pts)
 
-        prj = project_to_views(ref, que_pts, img_feats, ray_feats)
+        if packed is None:
+            packed = pack_feature_maps(ref["imgs"], img_feats, ray_feats)
+        prj = project_to_views(ref, que_pts, img_feats, ray_feats, packed)
         prj = self._predict_ray_prob(self.dist_decoder, prj,
                                      ref["depth_range"], None)
         que_dir = jnp.broadcast_to(
@@ -250,6 +263,7 @@ class NeuralRayRenderer(nn.Module):
                  key: Optional[jax.Array] = None):
         ref, que = data["ref"], data.get("que")
         img_feats, ray_feats = self.encode_views(ref)
+        packed = pack_feature_maps(ref["imgs"], img_feats, ray_feats)
 
         out = {}
         if self.render_rgb and que is not None:
@@ -257,11 +271,12 @@ class NeuralRayRenderer(nn.Module):
             if key is not None:
                 k_fine, k_depth = jax.random.split(key)
             out = self.render_rays(que, ref, img_feats, ray_feats, train,
-                                   k_fine)
+                                   k_fine, packed)
         else:
             k_depth = key
         if self.do_sample_volume:
-            out["volume"] = self.sample_volume(ref, img_feats, ray_feats)
+            out["volume"] = self.sample_volume(ref, img_feats, ray_feats,
+                                               packed)
         if self.use_depth_loss and k_depth is not None:
             out.update(self.predict_mean_for_depth_loss(ref, ray_feats,
                                                         k_depth))
