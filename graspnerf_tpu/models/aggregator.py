@@ -16,19 +16,20 @@ from .ibrnet import IBRNetNeus
 
 
 def dir_diff_feature(prj_dir, que_dir):
-    """[V,qn,rn,dn,3] x [qn,rn,dn,3] -> [qn*rn, dn, V, 4]
-    (direction difference ++ dot; ref: aggregate_net.py:11-17)."""
-    V, qn, rn, dn, _ = prj_dir.shape
+    """[V,qn,rn,dn,3] x [qn,rn,dn,3] -> [V, qn*rn*dn, 4]
+    (direction difference ++ dot; ref: aggregate_net.py:11-17). Stays in the
+    views-leading layout — no transpose between the gathers and the MLPs."""
+    V = prj_dir.shape[0]
     diff = prj_dir - que_dir[None]
     dot = jnp.sum(prj_dir * que_dir[None], -1, keepdims=True)
     feat = jnp.concatenate([diff, dot], -1)
-    return feat.reshape(V, qn * rn, dn, 4).transpose(1, 2, 0, 3)
+    return feat.reshape(V, -1, 4)
 
 
-def to_rdvc(x):
-    """[V,qn,rn,dn,C] -> [qn*rn, dn, V, C] (the aggregation layout)."""
+def to_vnc(x):
+    """[V,qn,rn,dn,C] -> [V, qn*rn*dn, C] (the aggregation layout; free)."""
     V, qn, rn, dn, C = x.shape
-    return x.reshape(V, qn * rn, dn, C).transpose(1, 2, 0, 3)
+    return x.reshape(V, qn * rn * dn, C)
 
 
 class SingleVariance(nn.Module):
@@ -96,13 +97,13 @@ class NeusAggregationNet(nn.Module):
             dir_diff = dir_diff_feature(prj["dir"], que_dir)
         else:
             V = prj["dir"].shape[0]
-            dir_diff = jnp.zeros((qn * rn, dn, V, 4), pe.dtype)
-        valid_mask = to_rdvc(prj["mask"])
-        img_feats = to_rdvc(jnp.concatenate([prj["rgb"], prj["img_feats"]], -1))
-        prob_embedding = to_rdvc(pe)
+            dir_diff = jnp.zeros((V, qn * rn * dn, 4), pe.dtype)
+        valid_mask = to_vnc(prj["mask"])
+        img_feats = to_vnc(jnp.concatenate([prj["rgb"], prj["img_feats"]], -1))
+        prob_embedding = to_vnc(pe)
 
         colors, sdf, grad = self.agg_impl(img_feats, prob_embedding, dir_diff,
-                                          valid_mask, que_pts)
+                                          valid_mask, que_pts, (qn * rn, dn))
         sdf = sdf[..., 0].reshape(qn, rn, dn).astype(jnp.float32)
         colors = colors.reshape(qn, rn, dn, 3).astype(jnp.float32)
         out = {"sdf": sdf, "colors": colors, "grad": grad}

@@ -2,9 +2,16 @@
 
 Re-design of the reference's hot-loop MLP stack (ref: src/nr/network/ibrnet.py:
 373-513 IBRNetWithNeuRayNeus, :52-116 attention + fused_mean_variance) as a
-functional flax module operating on [R, D, V, C] tensors (R rays, D samples,
-V source views, C channels) — the layout that keeps every Dense a single big
-batched matmul on the MXU.
+functional flax module operating on [V, N, C] tensors (V source views leading,
+N = rays*samples flattened, C channels) — the natural layout of the projected
+feature dict, so no transposes sit between the gathers and the MLPs.
+
+The per-view MLP stack + cross-view fusion (everything up to the geometry and
+color heads) has two interchangeable implementations:
+  * flax submodules (CPU / init / parity oracle), and
+  * a Pallas TPU kernel (ops/pallas/ibrnet_fuse.py) that keeps all
+    intermediates in VMEM — used automatically on accelerator backends;
+    backward runs through the jnp reference via custom_vjp.
 
 ∇sdf: the reference calls torch.autograd.grad(sdf, que_pts) where que_pts only
 enters the recorded graph through the positional embedding (requires_grad is
@@ -15,12 +22,14 @@ which gives the double-backward needed by the eikonal loss.
 """
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+from ..ops.pallas.ibrnet_fuse import view_fuse
 
 
 def positional_table(n_samples: int, d_hid: int = 16) -> np.ndarray:
@@ -43,7 +52,7 @@ def embed_points(pts: jnp.ndarray, multires: int = 3) -> jnp.ndarray:
     return jnp.concatenate(out, -1)
 
 
-def weighted_mean_var(x, weight, axis=-2):
+def weighted_mean_var(x, weight, axis=0):
     """Weighted mean/variance along the view axis (ref: ibrnet.py:112-116)."""
     mean = jnp.sum(x * weight, axis=axis, keepdims=True)
     var = jnp.sum(weight * (x - mean) ** 2, axis=axis, keepdims=True)
@@ -104,18 +113,27 @@ class _Seq(nn.Module):
         return x
 
 
+def _auto_use_pallas() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 class IBRNetNeus(nn.Module):
-    """Inputs:
-      rgb_feat    [R, D, V, 3+f]   (rgb ++ image features, f=32)
-      neuray_feat [R, D, V, nf]    (prob embedding, nf=32)
-      ray_diff    [R, D, V, 4]     (dir difference ++ dot)
-      mask        [R, D, V, 1]
-      que_pts     [Q, R', D, 3]    with Q*R' == R
-    Returns (rgb [R,D,3], sdf [R,D,1], grad_pts [Q,R',D,3]).
+    """Inputs ([V, N, C] layout, V source views, N = R*D points):
+      rgb_feat    [V, N, 3+f]   (rgb ++ image features, f=32)
+      neuray_feat [V, N, nf]    (prob embedding, nf=32)
+      ray_diff    [V, N, 4]     (dir difference ++ dot)
+      mask        [V, N, 1]
+      que_pts     [Q, R', D, 3] with Q*R'*D == N
+    Returns (rgb [R,D,3], sdf [R,D,1], grad_pts [Q,R',D,3]) where R=Q*R'.
     """
     neuray_in_dim: int = 32
     in_feat_ch: int = 32
     dtype: Any = jnp.float32
+    # None = auto (Pallas on accelerators, flax modules on CPU)
+    use_pallas: Optional[bool] = None
 
     def setup(self):
         f = self.in_feat_ch
@@ -133,8 +151,54 @@ class IBRNetNeus(nn.Module):
         self.out_geo_0 = nn.Dense(16, name="out_geometry_fc.0", dtype=d)
         self.out_geo_1 = nn.Dense(1, name="out_geometry_fc.1", dtype=d)
 
+    # ------------------------------------------------- view-fusion section
+    def _view_fuse_modules(self, rgb_feat, neuray_feat, ray_diff, mask):
+        """Oracle path through the flax submodules (also creates params)."""
+        direction_feat = self.ray_dir_fc(ray_diff)
+        rgb_feat = rgb_feat + direction_feat
+
+        weight = mask / (jnp.sum(mask, 0, keepdims=True) + 1e-8)
+        weight0 = nn.sigmoid(self.neuray_fc(neuray_feat)) * weight
+        mean0, var0 = weighted_mean_var(rgb_feat, weight0, 0)
+        mean1, var1 = weighted_mean_var(rgb_feat, weight, 0)
+        globalfeat = jnp.concatenate([mean0, var0, mean1, var1], -1)
+
+        V, N = rgb_feat.shape[:2]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(globalfeat, (V, N, globalfeat.shape[-1])),
+             rgb_feat, neuray_feat], -1)
+        x = self.base_fc(x)
+
+        x_vis = self.vis_fc(x * weight)
+        x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
+        vis = nn.sigmoid(vis) * mask
+        x = x + x_res
+        vis = self.vis_fc2(x * vis) * mask
+        weight = vis / (jnp.sum(vis, 0, keepdims=True) + 1e-8)
+
+        mean, var = weighted_mean_var(x, weight, 0)
+        feat_const = jnp.concatenate(
+            [mean[0], var[0], jnp.mean(weight, 0)], -1)  # [N,65]
+        num_valid = jnp.sum(mask, 0)  # [N,1]
+        return feat_const, num_valid, x, vis
+
+    def _collect_weights(self):
+        p = self.variables["params"]
+
+        def kb(seq, idx):
+            m = p[seq][str(idx)]
+            return (m["kernel"], m["bias"])
+
+        return (kb("ray_dir_fc", 0), kb("ray_dir_fc", 2),
+                kb("neuray_fc", 0), kb("neuray_fc", 2),
+                kb("base_fc", 0), kb("base_fc", 2),
+                kb("vis_fc", 0), kb("vis_fc", 2),
+                kb("vis_fc2", 0), kb("vis_fc2", 2))
+
+    # ---------------------------------------------------- geometry section
     def _geometry(self, feat_const, pts, num_valid, pos_enc):
-        """SDF from aggregated features + point embedding. pts [Q,R',D,3]."""
+        """SDF from aggregated features + point embedding. pts [Q,R',D,3];
+        feat_const [R,D,65], num_valid [R,D,1]."""
         R, D, _ = feat_const.shape
         embed = embed_points(pts).reshape(R, D, -1).astype(feat_const.dtype)
         g = jnp.concatenate([feat_const, embed], -1)
@@ -146,50 +210,41 @@ class IBRNetNeus(nn.Module):
                        -1.0, 1.0)
         return jnp.where(num_valid < 1, 1.0, sdf)  # R,D,1
 
-    def __call__(self, rgb_feat, neuray_feat, ray_diff, mask, que_pts):
-        R, D, V, _ = rgb_feat.shape
+    def __call__(self, rgb_feat, neuray_feat, ray_diff, mask, que_pts,
+                 rd: Tuple[int, int]):
+        R, D = rd
         rgb_feat = rgb_feat.astype(self.dtype)
         neuray_feat = neuray_feat.astype(self.dtype)
         ray_diff = ray_diff.astype(self.dtype)
         mask = mask.astype(self.dtype)
-        direction_feat = self.ray_dir_fc(ray_diff)
         rgb_in = rgb_feat[..., :3]
-        rgb_feat = rgb_feat + direction_feat
 
-        weight = mask / (jnp.sum(mask, 2, keepdims=True) + 1e-8)
-        weight0 = nn.sigmoid(self.neuray_fc(neuray_feat)) * weight
-        mean0, var0 = weighted_mean_var(rgb_feat, weight0, 2)
-        mean1, var1 = weighted_mean_var(rgb_feat, weight, 2)
-        globalfeat = jnp.concatenate([mean0, var0, mean1, var1], -1)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = _auto_use_pallas()
+        if self.is_initializing() or not use_pallas:
+            feat_const, num_valid, x, vis = self._view_fuse_modules(
+                rgb_feat, neuray_feat, ray_diff, mask)
+        else:
+            feat_const, num_valid, x, vis = view_fuse(
+                rgb_feat, neuray_feat, ray_diff, mask,
+                self._collect_weights(), jnp.dtype(self.dtype))
 
-        x = jnp.concatenate(
-            [jnp.broadcast_to(globalfeat, (R, D, V, globalfeat.shape[-1])),
-             rgb_feat, neuray_feat], -1)
-        x = self.base_fc(x)
-
-        x_vis = self.vis_fc(x * weight)
-        x_res, vis = x_vis[..., :-1], x_vis[..., -1:]
-        vis = nn.sigmoid(vis) * mask
-        x = x + x_res
-        vis = self.vis_fc2(x * vis) * mask
-        weight = vis / (jnp.sum(vis, 2, keepdims=True) + 1e-8)
-
-        mean, var = weighted_mean_var(x, weight, 2)
-        feat_const = jnp.concatenate(
-            [mean[:, :, 0], var[:, :, 0], jnp.mean(weight, 2)], -1)  # R,D,65
-        num_valid = jnp.sum(mask, 2)  # R,D,1
+        feat_const = feat_const.reshape(R, D, -1)
+        num_valid = num_valid.reshape(R, D, 1)
         pos_enc = jnp.asarray(positional_table(D)).astype(self.dtype)
 
         if self.is_initializing():
             # create the geometry-branch params outside the vjp trace
             self._geometry(feat_const, que_pts, num_valid, pos_enc)
         sdf, vjp_fn = jax.vjp(
-            lambda p: self._geometry(feat_const, p, num_valid, pos_enc), que_pts)
+            lambda p: self._geometry(feat_const, p, num_valid, pos_enc),
+            que_pts)
         grad_pts, = vjp_fn(jnp.ones_like(sdf))
 
-        h = jnp.concatenate([x, vis, ray_diff], -1)
+        h = jnp.concatenate([x, vis, ray_diff], -1)  # [V,N,37]
         h = self.rgb_fc(h)
         h = jnp.where(mask == 0, -1e9, h)
-        blend = jax.nn.softmax(h.astype(jnp.float32), 2)
-        rgb_out = jnp.sum(rgb_in.astype(jnp.float32) * blend, 2)
-        return rgb_out, sdf, grad_pts
+        blend = jax.nn.softmax(h.astype(jnp.float32), 0)
+        rgb_out = jnp.sum(rgb_in.astype(jnp.float32) * blend, 0)
+        return rgb_out.reshape(R, D, 3), sdf, grad_pts

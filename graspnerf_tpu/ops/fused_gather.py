@@ -74,16 +74,6 @@ def _window_gather(packed: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray):
     return jax.vmap(one)(packed, starts)
 
 
-def _sel2(a: jnp.ndarray, o: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Select index o ∈ {0,1} along `axis` (size 2) of a; o broadcasts over
-    the remaining dims. Pure VPU select — no gather."""
-    a0 = jax.lax.index_in_dim(a, 0, axis, keepdims=False)
-    a1 = jax.lax.index_in_dim(a, 1, axis, keepdims=False)
-    cond = (o == 0)
-    cond = cond.reshape(cond.shape + (1,) * (a0.ndim - cond.ndim))
-    return jnp.where(cond, a0, a1)
-
-
 def fused_epipolar_gather(packed: jnp.ndarray, xy: jnp.ndarray,
                           valid: jnp.ndarray, h: int, w: int):
     """Sample rgb + img_feats + ray_feats at xy with one windowed gather.
@@ -118,20 +108,27 @@ def fused_epipolar_gather(packed: jnp.ndarray, xy: jnp.ndarray,
 
     win = _window_gather(packed, sy, sx)  # [V,P,2,2,Ctot]
 
-    # ---- feature maps: border-clamped taps inside the window --------------
+    # ---- feature maps: fold the border-clamped taps into per-cell weights -
+    # The 4 bilinear taps live at window offsets (oy∈{0,1}, ox∈{0,1}); the
+    # per-cell weight factorizes into row x col terms (each tap's y-offset
+    # depends only on its row index and weight wy_i, ditto x), so the whole
+    # bilinear+border-clamp reduces to 4 scalar-weighted MACs on the window —
+    # no selects, no per-tap tensors.
     featw = win[..., 48:]
     oy0 = jnp.clip(y0qi, 0, fh - 1) - sy       # ∈ {0,1}
     oy1 = jnp.clip(y0qi + 1, 0, fh - 1) - sy
     ox0 = jnp.clip(x0qi, 0, fw - 1) - sx
     ox1 = jnp.clip(x0qi + 1, 0, fw - 1) - sx
-    row0 = _sel2(featw, oy0, 2)   # [V,P,2,2C]
-    row1 = _sel2(featw, oy1, 2)
-    f00 = _sel2(row0, ox0, 2)
-    f01 = _sel2(row0, ox1, 2)
-    f10 = _sel2(row1, ox0, 2)
-    f11 = _sel2(row1, ox1, 2)
-    feat = ((f00 * (1 - wxq) + f01 * wxq) * (1 - wyq)
-            + (f10 * (1 - wxq) + f11 * wxq) * wyq)
+    wy1 = wyq[..., 0]
+    wx1 = wxq[..., 0]
+    rw0 = jnp.where(oy0 == 0, 1 - wy1, 0.0) + jnp.where(oy1 == 0, wy1, 0.0)
+    rw1 = jnp.where(oy0 == 1, 1 - wy1, 0.0) + jnp.where(oy1 == 1, wy1, 0.0)
+    cw0 = jnp.where(ox0 == 0, 1 - wx1, 0.0) + jnp.where(ox1 == 0, wx1, 0.0)
+    cw1 = jnp.where(ox0 == 1, 1 - wx1, 0.0) + jnp.where(ox1 == 1, wx1, 0.0)
+    feat = (featw[:, :, 0, 0] * (rw0 * cw0)[..., None]
+            + featw[:, :, 0, 1] * (rw0 * cw1)[..., None]
+            + featw[:, :, 1, 0] * (rw1 * cw0)[..., None]
+            + featw[:, :, 1, 1] * (rw1 * cw1)[..., None])
     img_f, ray_f = feat[..., :Cf], feat[..., Cf:]
 
     # ---- RGB: full-res taps (align_corners=True, oracle's exact arith) ----
@@ -145,30 +142,26 @@ def fused_epipolar_gather(packed: jnp.ndarray, xy: jnp.ndarray,
     x0fi = x0f.astype(jnp.int32)
     y0fi = y0f.astype(jnp.int32)
 
-    rgbw = win[..., :48].reshape(win.shape[:4] + (4, 4, 3))  # [V,P,2,2,4,4,3]
-
-    def rgb_tap(yi, xi):
-        """Full-res tap at border-clamped pixel (yi, xi) from the window."""
-        uy = jnp.clip(jnp.clip(yi, 0, H - 1) - 4 * sy, 0, 7)  # ∈ [0, 8)
-        ux = jnp.clip(jnp.clip(xi, 0, W - 1) - 4 * sx, 0, 7)
-        cy, ry = uy >> 2, uy & 3
-        cx, rx = ux >> 2, ux & 3
-        cell = _sel2(_sel2(rgbw, cy, 2), cx, 2)  # [V,P,4,4,3]
-        out = jnp.zeros(cell.shape[:2] + (3,), cell.dtype)
-        for i in range(4):
-            rowi = cell[:, :, i]  # [V,P,4,3]
-            sely = (ry == i)[..., None]
-            for j in range(4):
-                m = (sely & (rx == j)[..., None]).astype(cell.dtype)
-                out = out + rowi[:, :, j] * m
-        return out
-
-    r00 = rgb_tap(y0fi, x0fi)
-    r01 = rgb_tap(y0fi, x0fi + 1)
-    r10 = rgb_tap(y0fi + 1, x0fi)
-    r11 = rgb_tap(y0fi + 1, x0fi + 1)
-    rgb = ((r00 * (1 - wxf) + r01 * wxf) * (1 - wyf)
-           + (r10 * (1 - wxf) + r11 * wxf) * wyf)
+    # Same weight-folding trick at full resolution: the 2 y-taps land at
+    # window-relative rows uy∈[0,8) (2 window cells x 4 subpixels) with
+    # weights (1-wyf, wyf); build the 8-slot row/col weight vectors and
+    # contract — two small einsums instead of 4x16 masked selects.
+    rgbw = win[..., :48].reshape(win.shape[:4] + (4, 4, 3))  # [V,P,a,b,i,j,3]
+    uy0 = jnp.clip(jnp.clip(y0fi, 0, H - 1) - 4 * sy, 0, 7)      # ∈ [0, 8)
+    uy1 = jnp.clip(jnp.clip(y0fi + 1, 0, H - 1) - 4 * sy, 0, 7)
+    ux0 = jnp.clip(jnp.clip(x0fi, 0, W - 1) - 4 * sx, 0, 7)
+    ux1 = jnp.clip(jnp.clip(x0fi + 1, 0, W - 1) - 4 * sx, 0, 7)
+    wyf1 = wyf[..., 0]
+    wxf1 = wxf[..., 0]
+    slots = jnp.arange(8, dtype=jnp.int32)
+    rw = (jnp.where(uy0[..., None] == slots, (1 - wyf1)[..., None], 0.0)
+          + jnp.where(uy1[..., None] == slots, wyf1[..., None], 0.0))
+    cw = (jnp.where(ux0[..., None] == slots, (1 - wxf1)[..., None], 0.0)
+          + jnp.where(ux1[..., None] == slots, wxf1[..., None], 0.0))
+    rw4 = rw.reshape(rw.shape[:-1] + (2, 4))   # [V,P,a,i]
+    cw4 = cw.reshape(cw.shape[:-1] + (2, 4))   # [V,P,b,j]
+    t1 = jnp.einsum("vpabijc,vpbj->vpaic", rgbw, cw4)
+    rgb = jnp.einsum("vpaic,vpai->vpc", t1, rw4)
 
     m = valid[..., None].astype(feat.dtype)
     return rgb * m, img_f * m, ray_f * m

@@ -117,7 +117,11 @@ def test_ibrnet_neus_parity(refnr, rng):
     rgb_feat, neuray, ray_diff, mask, pts = _rand_agg_inputs(rng, R, D, V)
     tm = refnr.ibrnet.IBRNetWithNeuRayNeus(32, n_samples=D).eval()
     fm = M.IBRNetNeus()
-    args = tuple(jnp.asarray(a) for a in (rgb_feat, neuray, ray_diff, mask, pts))
+    # new interface: views-leading [V, R*D, C] + (R, D)
+    vnc = lambda a: jnp.asarray(
+        a.transpose(2, 0, 1, 3).reshape(V, R * D, a.shape[-1]))
+    args = (vnc(rgb_feat), vnc(neuray), vnc(ray_diff), vnc(mask),
+            jnp.asarray(pts), (R, D))
     variables, unused = convert(fm, tm, *args)
     assert unused == []
     rgb, sdf, grad = fm.apply(variables, *args)
