@@ -98,6 +98,12 @@ def view_fuse_reference(rgbf, neur, rdiff, mask, weights, dtype=jnp.float32):
             x.astype(dtype), vis.astype(dtype))
 
 
+def _elu(x):
+    """ELU without expm1 (unimplemented in Mosaic); exp(x)-1 loses at most
+    ~1e-8 absolute near 0, far inside the kernel's parity tolerance."""
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
 def _kernel(rgbf_ref, neur_ref, rdiff_ref, mask_ref,
             wd0k, wd0b, wd1k, wd1b, wn0k, wn0b, wn1k, wn1b,
             wb0k, wb0b, wb1k, wb1b, wv0k, wv0b, wv1k, wv1b,
@@ -116,12 +122,12 @@ def _kernel(rgbf_ref, neur_ref, rdiff_ref, mask_ref,
     rfs, w0s, weights_, neurs = [], [], [], []
     for v in range(V):
         rdiff = rdiff_ref[v].astype(dtype)
-        df = jax.nn.elu(mm(rdiff, wd0k, wd0b))
-        df = jax.nn.elu(mm(df, wd1k, wd1b))
+        df = _elu(mm(rdiff, wd0k, wd0b))
+        df = _elu(mm(df, wd1k, wd1b))
         rf = rgbf_ref[v].astype(dtype) + df
         neur = neur_ref[v].astype(dtype)
         weight = masks[v] / msum
-        w0 = jax.nn.elu(mm(neur, wn0k, wn0b))
+        w0 = _elu(mm(neur, wn0k, wn0b))
         w0 = jax.nn.sigmoid(mm(w0, wn1k, wn1b)) * weight
         rfs.append(rf)
         w0s.append(w0)
@@ -137,14 +143,14 @@ def _kernel(rgbf_ref, neur_ref, rdiff_ref, mask_ref,
     xs, viss = [], []
     for v in range(V):
         xin = jnp.concatenate([gf, rfs[v], neurs[v]], -1)  # [T,207]
-        x = jax.nn.elu(mm(xin, wb0k, wb0b))
-        x = jax.nn.elu(mm(x, wb1k, wb1b))
-        xv = jax.nn.elu(mm(x * weights_[v], wv0k, wv0b))
-        xv = jax.nn.elu(mm(xv, wv1k, wv1b))
+        x = _elu(mm(xin, wb0k, wb0b))
+        x = _elu(mm(x, wb1k, wb1b))
+        xv = _elu(mm(x * weights_[v], wv0k, wv0b))
+        xv = _elu(mm(xv, wv1k, wv1b))
         x_res, vis = xv[..., :C_X], xv[..., C_X:]
         vis = jax.nn.sigmoid(vis) * masks[v]
         x = x + x_res
-        v2 = jax.nn.elu(mm(x * vis, wv20k, wv20b))
+        v2 = _elu(mm(x * vis, wv20k, wv20b))
         vis = jax.nn.sigmoid(mm(v2, wv21k, wv21b)) * masks[v]
         xs.append(x)
         viss.append(vis)
