@@ -46,6 +46,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int, ctypes.c_int,
                                     f32p, f32p, i32p]
         lib.trace_prims.restype = None
+    if hasattr(lib, "trace_tris"):
+        lib.trace_tris.argtypes = [f32p, i32p, ctypes.c_int, f32p, f32p,
+                                   ctypes.c_int, f32p, f32p, i32p]
+        lib.trace_tris.restype = None
     _lib = lib
     return _lib
 
@@ -57,6 +61,32 @@ def available() -> bool:
 def prims_available() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "trace_prims")
+
+
+def tris_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "trace_tris")
+
+
+def trace_tris(tris: np.ndarray, tri_ids: np.ndarray, origins: np.ndarray,
+               dirs: np.ndarray):
+    """tris [nt,3,3] world-space triangles, tri_ids [nt] object id per
+    triangle, origins/dirs [n,3] → (t [n] inf=miss, normals [n,3], ids [n]).
+    BVH-accelerated; numpy oracle = sim.mesh.moller_trumbore."""
+    lib = _load()
+    assert lib is not None and hasattr(lib, "trace_tris"), \
+        "native triangle tracer unavailable"
+    n = origins.shape[0]
+    tris = np.ascontiguousarray(tris, np.float32).reshape(-1, 9)
+    tri_ids = np.ascontiguousarray(tri_ids, np.int32)
+    origins = np.ascontiguousarray(origins, np.float32)
+    dirs = np.ascontiguousarray(dirs, np.float32)
+    t = np.empty(n, np.float32)
+    normals = np.empty((n, 3), np.float32)
+    ids = np.empty(n, np.int32)
+    lib.trace_tris(tris, tri_ids, len(tris), origins, dirs, n,
+                   t, normals, ids)
+    return np.where(t >= 1e29, np.inf, t), normals, ids
 
 
 def trace_prims(prims: np.ndarray, origins: np.ndarray, dirs: np.ndarray,

@@ -301,27 +301,60 @@ class PrimScene:
     def trace(self, origins: np.ndarray, dirs: np.ndarray,
               exclude: int = -1, with_table: bool = True):
         """First hit along rays. Returns (t [N] inf=miss, normals [N,3],
-        ids [N] int32). Uses the native C++ tracer when available and no
-        object is excluded."""
+        ids [N] int32). Analytic primitives and triangle meshes both route
+        through the native C++ tracer when available (trace_prims +
+        BVH trace_tris); the per-object numpy intersects below are the
+        oracle fallback."""
         origins = np.ascontiguousarray(origins, np.float32).reshape(-1, 3)
         dirs = np.ascontiguousarray(dirs, np.float32).reshape(-1, 3)
-        if exclude < 0 and self.objects:
-            from ..data import native
-            if native.prims_available():
-                prims = np.stack([ob.flat() for ob in self.objects])
-                return native.trace_prims(prims, origins, dirs, with_table)
         N = origins.shape[0]
         t_best = np.full(N, np.inf, np.float32)
         n_best = np.zeros((N, 3), np.float32)
         id_best = np.full(N, -1, np.int32)
-        for i, ob in enumerate(self.objects):
-            if i == exclude:
-                continue
-            t, n = ob.intersect(origins, dirs)
-            hit = t < t_best
-            t_best = np.where(hit, t, t_best)
-            n_best = np.where(hit[:, None], n, n_best)
-            id_best = np.where(hit, i, id_best)
+
+        prim_ids = [i for i, ob in enumerate(self.objects)
+                    if ob.kind < 4 and i != exclude]
+        mesh_ids = [i for i, ob in enumerate(self.objects)
+                    if ob.kind >= 4 and i != exclude]
+        from ..data import native
+        use_native = native.prims_available()
+
+        if prim_ids:
+            if use_native:
+                prims = np.stack([self.objects[i].flat() for i in prim_ids])
+                t, n, ids = native.trace_prims(prims, origins, dirs, False)
+                remap = np.asarray(prim_ids + [-1], np.int32)
+                ids = remap[np.where(ids >= 0, ids, len(prim_ids))]
+                hit = t < t_best
+                t_best = np.where(hit, t, t_best)
+                n_best = np.where(hit[:, None], n, n_best)
+                id_best = np.where(hit, ids, id_best)
+            else:
+                for i in prim_ids:
+                    t, n = self.objects[i].intersect(origins, dirs)
+                    hit = t < t_best
+                    t_best = np.where(hit, t, t_best)
+                    n_best = np.where(hit[:, None], n, n_best)
+                    id_best = np.where(hit, i, id_best)
+        if mesh_ids:
+            if use_native and native.tris_available():
+                tris = np.concatenate(
+                    [self.objects[i].world_triangles() for i in mesh_ids])
+                tids = np.concatenate(
+                    [np.full(len(self.objects[i].faces), i, np.int32)
+                     for i in mesh_ids])
+                t, n, ids = native.trace_tris(tris, tids, origins, dirs)
+                hit = t < t_best
+                t_best = np.where(hit, t, t_best)
+                n_best = np.where(hit[:, None], n, n_best)
+                id_best = np.where(hit, ids, id_best)
+            else:
+                for i in mesh_ids:
+                    t, n = self.objects[i].intersect(origins, dirs)
+                    hit = t < t_best
+                    t_best = np.where(hit, t, t_best)
+                    n_best = np.where(hit[:, None], n, n_best)
+                    id_best = np.where(hit, i, id_best)
         if with_table:
             dz = dirs[:, 2]
             t = np.where(np.abs(dz) > _EPS, -origins[:, 2]
@@ -347,8 +380,10 @@ class PrimScene:
     # ------------------------------------------------------- (de)serialise
     def save(self, path: str):
         """Scene descriptor npz — the analog of the reference's saved
-        mesh_pose_dict scene descriptors (ref simulation.py:85-96)."""
+        mesh_pose_dict scene descriptors (ref simulation.py:85-96). Mesh
+        objects carry their vertex/face arrays in a pickled states column."""
         n = len(self.objects)
+        mesh_states = [o.state() for o in self.objects if o.kind >= 4]
         np.savez_compressed(
             path,
             kinds=np.array([o.kind for o in self.objects], np.int32),
@@ -359,14 +394,22 @@ class PrimScene:
             ts=(np.stack([o.t for o in self.objects])
                 if n else np.zeros((0, 3), np.float32)),
             materials=np.array([o.material for o in self.objects], np.int32),
+            mesh_states=np.array(mesh_states, dtype=object),
         )
 
     @classmethod
     def load(cls, path: str) -> "PrimScene":
-        z = np.load(path)
-        objs = [PrimObject(int(z["kinds"][i]), z["params"][i], z["Rs"][i],
-                           z["ts"][i], int(z["materials"][i]))
-                for i in range(len(z["kinds"]))]
+        z = np.load(path, allow_pickle=True)
+        mesh_states = list(z["mesh_states"]) if "mesh_states" in z else []
+        objs = []
+        for i in range(len(z["kinds"])):
+            kind = int(z["kinds"][i])
+            if kind >= 4:
+                from .mesh import MeshObject
+                objs.append(MeshObject.from_state(mesh_states.pop(0)))
+            else:
+                objs.append(PrimObject(kind, z["params"][i], z["Rs"][i],
+                                       z["ts"][i], int(z["materials"][i])))
         return cls(objs)
 
 

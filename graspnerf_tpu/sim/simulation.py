@@ -119,6 +119,25 @@ class ClutterRemovalSim:
         self.scene = PrimScene.load(path)
         return self.scene
 
+    def reset_from_mesh_pose_list(self, path: str, asset_root: str = ""
+                                  ) -> PrimScene:
+        """Replay a reference-format `mesh_pose_list` descriptor: load each
+        URDF mesh at its recorded rotation/xy, drop-settle in order (pile)
+        or place directly (packed rest poses carry a full translation), then
+        clean up — mirroring ref simulation.py:158-203 load_scene_descriptor
+        semantics without pybullet."""
+        from .mesh import load_mesh_pose_list
+        entries = load_mesh_pose_list(path, asset_root, self.scene_type)
+        self.scene = PrimScene()
+        for e in entries:
+            obj = e["mesh"]
+            idx = self.scene.add(obj)
+            drop = self._support_drop(obj, idx_exclude=idx)
+            obj.t[2] -= drop
+            self._depenetrate_up(idx)
+        self.remove_and_wait()
+        return self.scene
+
     def save_descriptor(self, path: str):
         self.scene.save(path)
 

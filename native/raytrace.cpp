@@ -10,6 +10,7 @@
 //
 // Build: see native/build.sh (g++ -O3 -march=native -fopenmp -shared -fPIC).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <limits>
@@ -254,6 +255,156 @@ void trace_prims(const float* prims, int np_, const float* origins,
     out_n[3 * i + 2] = best_n.z;
     out_id[i] = best_id;
   }
+}
+
+// Triangle-mesh tracer with a median-split BVH, for MeshObject scenes
+// (graspnerf_tpu/sim/mesh.py is the numpy Moller-Trumbore oracle).
+// tris: [nt,9] world-space (v0,v1,v2); tri_ids: [nt] object id per triangle.
+// Outputs as trace_prims (miss -> t=1e30, id=-1). Normals are geometric,
+// oriented against the ray.
+void trace_tris(const float* tris, const int32_t* tri_ids, int nt,
+                const float* origins, const float* dirs, int n,
+                float* out_t, float* out_n, int32_t* out_id) {
+  const float INF = 1e30f;
+  struct Node {
+    float lo[3], hi[3];
+    int left, right;    // children (internal) or -1
+    int start, count;   // leaf triangle range
+  };
+  // build: median split on the largest centroid axis
+  int* order = new int[nt];
+  float* cent = new float[3 * nt];
+  for (int i = 0; i < nt; ++i) {
+    order[i] = i;
+    const float* T = tris + 9 * i;
+    for (int a = 0; a < 3; ++a)
+      cent[3 * i + a] = (T[a] + T[3 + a] + T[6 + a]) / 3.0f;
+  }
+  Node* nodes = new Node[2 * nt + 2];
+  int n_nodes = 0;
+  // explicit stack of (start, count, parent_slot)
+  struct Task { int start, count, slot; };
+  Task* stack = new Task[2 * nt + 2];
+  int sp = 0;
+  stack[sp++] = {0, nt, 0};
+  n_nodes = 1;
+  while (sp > 0) {
+    Task tk = stack[--sp];
+    Node& nd = nodes[tk.slot];
+    for (int a = 0; a < 3; ++a) { nd.lo[a] = INF; nd.hi[a] = -INF; }
+    for (int k = tk.start; k < tk.start + tk.count; ++k) {
+      const float* T = tris + 9 * order[k];
+      for (int v = 0; v < 3; ++v)
+        for (int a = 0; a < 3; ++a) {
+          float x = T[3 * v + a];
+          if (x < nd.lo[a]) nd.lo[a] = x;
+          if (x > nd.hi[a]) nd.hi[a] = x;
+        }
+    }
+    if (tk.count <= 4) {
+      nd.left = nd.right = -1;
+      nd.start = tk.start;
+      nd.count = tk.count;
+      continue;
+    }
+    int axis = 0;
+    float ext = nd.hi[0] - nd.lo[0];
+    for (int a = 1; a < 3; ++a)
+      if (nd.hi[a] - nd.lo[a] > ext) { ext = nd.hi[a] - nd.lo[a]; axis = a; }
+    // median split via nth_element-style partition (simple sort of range)
+    int mid = tk.count / 2;
+    // partial selection sort is O(n^2) worst; use std::nth_element
+    std::nth_element(order + tk.start, order + tk.start + mid,
+                     order + tk.start + tk.count,
+                     [cent, axis](int a, int b) {
+                       return cent[3 * a + axis] < cent[3 * b + axis];
+                     });
+    nd.left = n_nodes++;
+    nd.right = n_nodes++;
+    nd.start = -1;
+    nd.count = 0;
+    stack[sp++] = {tk.start, mid, nd.left};
+    stack[sp++] = {tk.start + mid, tk.count - mid, nd.right};
+  }
+
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < n; ++i) {
+    Vec3 o{origins[3 * i], origins[3 * i + 1], origins[3 * i + 2]};
+    Vec3 d{dirs[3 * i], dirs[3 * i + 1], dirs[3 * i + 2]};
+    float inv[3] = {
+        1.0f / (std::fabs(d.x) < 1e-12f ? (d.x < 0 ? -1e-12f : 1e-12f) : d.x),
+        1.0f / (std::fabs(d.y) < 1e-12f ? (d.y < 0 ? -1e-12f : 1e-12f) : d.y),
+        1.0f / (std::fabs(d.z) < 1e-12f ? (d.z < 0 ? -1e-12f : 1e-12f) : d.z)};
+    const float od[3] = {o.x, o.y, o.z};
+    float best_t = INF;
+    Vec3 best_n{0.f, 0.f, 0.f};
+    int best_id = -1;
+    int tstack[128];
+    int tsp = 0;
+    tstack[tsp++] = 0;
+    while (tsp > 0) {
+      const Node& nd = nodes[tstack[--tsp]];
+      // slab test
+      float tn = 0.0f, tf = best_t;
+      bool ok = true;
+      for (int a = 0; a < 3; ++a) {
+        float t0 = (nd.lo[a] - od[a]) * inv[a];
+        float t1 = (nd.hi[a] - od[a]) * inv[a];
+        if (t0 > t1) { float tmp = t0; t0 = t1; t1 = tmp; }
+        if (t0 > tn) tn = t0;
+        if (t1 < tf) tf = t1;
+        if (tn > tf) { ok = false; break; }
+      }
+      if (!ok) continue;
+      if (nd.left >= 0) {
+        if (tsp + 2 <= 128) {
+          tstack[tsp++] = nd.left;
+          tstack[tsp++] = nd.right;
+        }
+        continue;
+      }
+      for (int k = nd.start; k < nd.start + nd.count; ++k) {
+        int ti = order[k];
+        const float* T = tris + 9 * ti;
+        Vec3 v0{T[0], T[1], T[2]};
+        Vec3 e1{T[3] - T[0], T[4] - T[1], T[5] - T[2]};
+        Vec3 e2{T[6] - T[0], T[7] - T[1], T[8] - T[2]};
+        // Moller-Trumbore
+        Vec3 h{d.y * e2.z - d.z * e2.y, d.z * e2.x - d.x * e2.z,
+               d.x * e2.y - d.y * e2.x};
+        float a = dot(e1, h);
+        if (std::fabs(a) < 1e-9f) continue;
+        float f = 1.0f / a;
+        Vec3 s = sub(o, v0);
+        float u = f * dot(s, h);
+        if (u < -1e-7f || u > 1.0f + 1e-7f) continue;
+        Vec3 q{s.y * e1.z - s.z * e1.y, s.z * e1.x - s.x * e1.z,
+               s.x * e1.y - s.y * e1.x};
+        float v = f * dot(d, q);
+        if (v < -1e-7f || u + v > 1.0f + 1e-7f) continue;
+        float t = f * dot(e2, q);
+        if (t > 1e-5f && t < best_t) {
+          best_t = t;
+          Vec3 nn{e1.y * e2.z - e1.z * e2.y, e1.z * e2.x - e1.x * e2.z,
+                  e1.x * e2.y - e1.y * e2.x};
+          float ln = std::sqrt(dot(nn, nn));
+          if (ln > 0) { nn.x /= ln; nn.y /= ln; nn.z /= ln; }
+          if (dot(nn, d) > 0) { nn.x = -nn.x; nn.y = -nn.y; nn.z = -nn.z; }
+          best_n = nn;
+          best_id = tri_ids[ti];
+        }
+      }
+    }
+    out_t[i] = best_t;
+    out_n[3 * i] = best_n.x;
+    out_n[3 * i + 1] = best_n.y;
+    out_n[3 * i + 2] = best_n.z;
+    out_id[i] = best_id;
+  }
+  delete[] nodes;
+  delete[] stack;
+  delete[] order;
+  delete[] cent;
 }
 
 int rt_num_threads() {
