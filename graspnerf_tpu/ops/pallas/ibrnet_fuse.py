@@ -104,6 +104,13 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
+def _sigmoid(x):
+    """Sigmoid in f32: Mosaic's bf16 `logistic` lowering emits an invalid
+    f32->bf16 vector.broadcast (verified on the v5e backend), so upcast,
+    apply, and cast back."""
+    return jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
 def _kernel(rgbf_ref, neur_ref, rdiff_ref, mask_ref,
             wd0k, wd0b, wd1k, wd1b, wn0k, wn0b, wn1k, wn1b,
             wb0k, wb0b, wb1k, wb1b, wv0k, wv0b, wv1k, wv1b,
