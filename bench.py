@@ -69,15 +69,62 @@ def slope_time(step, *args):
     return (t2 - t1) / (N2 - N1)
 
 
-def _cost_flops(step, *args):
+def _compile(step, *args):
+    """Explicitly lower+compile, returning (executable, compile_seconds,
+    flops). The executable is reused for timing so compile cost is reported
+    separately (round-3 lesson: cold XLA compiles of these graphs are the
+    long pole and must be visible, not folded into a 'first call')."""
+    t0 = time.perf_counter()
+    c = jax.jit(step).lower(*args, jnp.float32(0.0)).compile()
+    dt = time.perf_counter() - t0
+    flops = 0.0
     try:
-        c = jax.jit(step).lower(*args, jnp.float32(0.0)).compile()
         ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        flops = float(ca.get("flops", 0.0))
     except Exception:
-        return 0.0
+        pass
+    return c, dt, flops
+
+
+def probe_pallas(dtype=jnp.bfloat16, n=8192, tol=3e-2):
+    """Compile + run + parity-check the Pallas view-fuse kernel on the LIVE
+    backend before enabling it anywhere. A kernel that cannot pass this probe
+    must never gate the flagship path (round-3 lesson: the un-gated kernel
+    took down planner, trainer and bench on TPU). Returns (ok, detail)."""
+    t0 = time.perf_counter()
+    try:
+        from graspnerf_tpu.ops.pallas.ibrnet_fuse import (
+            view_fuse, view_fuse_reference)
+        rng = np.random.RandomState(0)
+        dims = {"ray_dir_fc.0": (4, 16), "ray_dir_fc.2": (16, 35),
+                "neuray_fc.0": (32, 8), "neuray_fc.2": (8, 1),
+                "base_fc.0": (207, 64), "base_fc.2": (64, 32),
+                "vis_fc.0": (32, 32), "vis_fc.2": (32, 33),
+                "vis_fc2.0": (32, 32), "vis_fc2.2": (32, 1)}
+        V = 6
+        rgbf = jnp.asarray(rng.rand(V, n, 35).astype(np.float32))
+        neur = jnp.asarray(rng.rand(V, n, 32).astype(np.float32))
+        diff = jnp.asarray((rng.rand(V, n, 4) - 0.5).astype(np.float32))
+        mask = jnp.asarray((rng.rand(V, n, 1) > 0.2).astype(np.float32))
+        weights = tuple(
+            (jnp.asarray((rng.rand(*d) - 0.5).astype(np.float32) * 0.3),
+             jnp.asarray((rng.rand(d[1]) - 0.5).astype(np.float32) * 0.1))
+            for d in dims.values())
+        out = jax.jit(lambda *a: view_fuse(*a, dtype=dtype))(
+            rgbf, neur, diff, mask, weights)
+        out = [np.asarray(o, np.float32) for o in out]
+        ref = view_fuse_reference(rgbf, neur, diff, mask, weights,
+                                  jnp.float32)
+        ref = [np.asarray(o, np.float32) for o in ref]
+        err = max(float(np.max(np.abs(a - b))) for a, b in zip(out, ref))
+        if not np.isfinite(err) or err > tol:
+            return False, f"off (parity err {err:.2e} > {tol})"
+        return True, (f"on (probe ok, err {err:.2e}, "
+                      f"{time.perf_counter() - t0:.0f}s)")
+    except Exception as e:  # Mosaic lowering / VMEM OOM / anything
+        return False, f"off ({type(e).__name__}: {str(e)[:140]})"
 
 
 def build_ref(h=288, w=512, V=6):
@@ -96,32 +143,34 @@ def build_ref(h=288, w=512, V=6):
             "bbox3d_min": jnp.asarray(BBOX_MIN)}
 
 
-def bench_volume(ref):
+def bench_volume(ref, use_pallas=False):
     """Full planner inference: encoders + 40^3 volume + grasp head."""
     from graspnerf_tpu.models import GraspNeRF
     model = GraspNeRF(renderer_cfg={"render_rgb": False,
                                     "use_depth_loss": False,
-                                    "compute_dtype": "bfloat16"})
+                                    "compute_dtype": "bfloat16",
+                                    "use_pallas": use_pallas})
     params = model.init(jax.random.PRNGKey(0), {"ref": ref},
                         train=False)["params"]
 
-    @jax.jit
     def step(params, ref, feedback):
         r = dict(ref)
         r["imgs"] = ref["imgs"] * (1.0 + 1e-6 * feedback)
         out = model.apply({"params": params}, {"ref": r}, train=False)
         return jnp.mean(out["volume"])
 
-    dt = slope_time(step, params, ref)
-    return dt, _cost_flops(step, params, ref)
+    compiled, dt_c, flops = _compile(step, params, ref)
+    dt = slope_time(compiled, params, ref)
+    return dt, flops, dt_c
 
 
-def bench_render(ref, n_rays=4096):
+def bench_render(ref, n_rays=4096, use_pallas=False):
     """Render stack: 4096 rays, 40+40 samples, color+depth compositing."""
     from graspnerf_tpu.models.renderer import NeuralRayRenderer
     model = NeuralRayRenderer(render_rgb=True, do_sample_volume=False,
                               use_depth_loss=False,
-                              compute_dtype="bfloat16")
+                              compute_dtype="bfloat16",
+                              use_pallas=use_pallas)
     V, h, w, _ = ref["imgs"].shape
     rng = np.random.RandomState(0)
     idx = rng.randint(0, h * w, n_rays)
@@ -132,7 +181,6 @@ def bench_render(ref, n_rays=4096):
     data = {"ref": ref, "que": que}
     params = model.init(jax.random.PRNGKey(0), data, train=False)["params"]
 
-    @jax.jit
     def step(params, data, feedback):
         d = dict(data)
         r = dict(d["ref"])
@@ -142,15 +190,28 @@ def bench_render(ref, n_rays=4096):
         return (jnp.mean(out["pixel_colors_nr_fine"])
                 + jnp.mean(out["render_depth_fine"]))
 
-    dt = slope_time(step, params, data)
-    return dt, _cost_flops(step, params, data)
+    compiled, dt_c, flops = _compile(step, params, data)
+    dt = slope_time(compiled, params, data)
+    return dt, flops, dt_c
 
 
 def main():
+    # Probe the Pallas kernel on this backend first; it gates NOTHING — the
+    # oracle path is always the fallback, so a broken kernel degrades perf
+    # instead of taking the product down (round-3 postmortem).
+    # BENCH_PALLAS=0/1 overrides the probe (for A/B runs).
+    import os
+    force = os.environ.get("BENCH_PALLAS")
+    if force == "0":
+        pallas_ok, pallas_detail = False, "off (BENCH_PALLAS=0)"
+    elif force == "1":
+        pallas_ok, pallas_detail = True, "on (BENCH_PALLAS=1)"
+    else:
+        pallas_ok, pallas_detail = probe_pallas()
     ref = build_ref()
 
-    vol_dt, vol_flops = bench_volume(ref)
-    ren_dt, ren_flops = bench_render(ref)
+    vol_dt, vol_flops, vol_cs = bench_volume(ref, use_pallas=pallas_ok)
+    ren_dt, ren_flops, ren_cs = bench_render(ref, use_pallas=pallas_ok)
 
     res, n_rays = 40, 4096
     qps = res ** 3 / vol_dt
@@ -165,6 +226,9 @@ def main():
         "render_ms": round(ren_dt * 1e3, 3),
         "mfu_volume": round(vol_flops / vol_dt / PEAK_BF16_FLOPS, 4),
         "mfu_render": round(ren_flops / ren_dt / PEAK_BF16_FLOPS, 4),
+        "pallas": pallas_detail,
+        "compile_volume_s": round(vol_cs, 1),
+        "compile_render_s": round(ren_cs, 1),
         "timing": "slope, D2H-forced (see module docstring)",
     }))
 

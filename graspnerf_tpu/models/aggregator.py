@@ -73,6 +73,8 @@ class NeusAggregationNet(nn.Module):
     neuray_dim: int = 32
     init_s: float = 0.3
     dtype: Any = jnp.float32
+    # opt-in Pallas view-fuse kernel (see IBRNetNeus.use_pallas)
+    use_pallas: bool = False
 
     def setup(self):
         self.prob_embed_0 = nn.Dense(self.neuray_dim, name="prob_embed.0",
@@ -80,7 +82,8 @@ class NeusAggregationNet(nn.Module):
         self.prob_embed_2 = nn.Dense(self.neuray_dim, name="prob_embed.2",
                                      dtype=self.dtype)
         self.agg_impl = IBRNetNeus(self.neuray_dim, name="agg_impl",
-                                   dtype=self.dtype)
+                                   dtype=self.dtype,
+                                   use_pallas=self.use_pallas)
         self.deviation_network = SingleVariance(self.init_s,
                                                 name="deviation_network")
 

@@ -113,13 +113,6 @@ class _Seq(nn.Module):
         return x
 
 
-def _auto_use_pallas() -> bool:
-    try:
-        return jax.devices()[0].platform not in ("cpu",)
-    except Exception:
-        return False
-
-
 class IBRNetNeus(nn.Module):
     """Inputs ([V, N, C] layout, V source views, N = R*D points):
       rgb_feat    [V, N, 3+f]   (rgb ++ image features, f=32)
@@ -132,8 +125,11 @@ class IBRNetNeus(nn.Module):
     neuray_in_dim: int = 32
     in_feat_ch: int = 32
     dtype: Any = jnp.float32
-    # None = auto (Pallas on accelerators, flax modules on CPU)
-    use_pallas: Optional[bool] = None
+    # Kill switch for the Pallas view-fuse kernel (ops/pallas/ibrnet_fuse.py).
+    # Defaults OFF: the oracle flax path must always work; the kernel is an
+    # opt-in optimization enabled by callers that have verified it on their
+    # backend (bench.py probes compile+parity on the real chip first).
+    use_pallas: bool = False
 
     def setup(self):
         f = self.in_feat_ch
@@ -219,10 +215,7 @@ class IBRNetNeus(nn.Module):
         mask = mask.astype(self.dtype)
         rgb_in = rgb_feat[..., :3]
 
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = _auto_use_pallas()
-        if self.is_initializing() or not use_pallas:
+        if self.is_initializing() or not self.use_pallas:
             feat_const, num_valid, x, vis = self._view_fuse_modules(
                 rgb_feat, neuray_feat, ray_diff, mask)
         else:

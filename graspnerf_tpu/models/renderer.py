@@ -94,6 +94,9 @@ class NeuralRayRenderer(nn.Module):
     # activation/compute dtype ("float32" | "bfloat16"); params stay float32,
     # geometry and compositing stay float32 regardless
     compute_dtype: str = "float32"
+    # opt-in Pallas view-fuse kernel for the aggregators; OFF by default —
+    # callers enable it only after probing it on their backend (bench.py)
+    use_pallas: bool = False
     # name of the mesh axis to shard rays / TSDF-grid columns over (None =
     # let XLA decide); only meaningful inside jit under a Mesh context
     space_axis: Optional[str] = None
@@ -116,13 +119,15 @@ class NeuralRayRenderer(nn.Module):
         self.dist_decoder = MixtureLogisticsDistDecoder(name="dist_decoder",
                                                         dtype=d)
         self.agg_net = NeusAggregationNet(init_s=self.init_s, name="agg_net",
-                                          dtype=d)
+                                          dtype=d,
+                                          use_pallas=self.use_pallas)
         if self.use_hierarchical_sampling:
             self.fine_dist_decoder = MixtureLogisticsDistDecoder(
                 name="fine_dist_decoder", dtype=d)
             self.fine_agg_net = NeusAggregationNet(init_s=self.init_s,
                                                    name="fine_agg_net",
-                                                   dtype=d)
+                                                   dtype=d,
+                                                   use_pallas=self.use_pallas)
 
     # ---------------------------------------------------------------- views
     def encode_views(self, ref):

@@ -104,81 +104,113 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
-def _sigmoid(x):
-    """Sigmoid in f32: Mosaic's bf16 `logistic` lowering emits an invalid
-    f32->bf16 vector.broadcast (verified on the v5e backend), so upcast,
-    apply, and cast back."""
-    return jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+# Packed-lane layout (all non-linear work stays in f32 inside the kernel:
+# Mosaic's bf16 lowerings of `logistic` and `cmpf` are broken on v5e — the
+# round-3 failures — so bf16 is confined to the MXU matmul inputs).
+C_IN = C_RGBF + C_NEUR + C_DIFF + 1   # 72: rgbf | neur | rdiff | mask
+C_O1 = C_OUT + 1                      # 66: feat_const | num_valid
+C_O2 = C_X + 1                        # 33: x | vis
 
 
-def _kernel(rgbf_ref, neur_ref, rdiff_ref, mask_ref,
+def _kernel(pin_ref,
             wd0k, wd0b, wd1k, wd1b, wn0k, wn0b, wn1k, wn1b,
             wb0k, wb0b, wb1k, wb1b, wv0k, wv0b, wv1k, wv1b,
             wv20k, wv20b, wv21k, wv21b,
-            fc_ref, nv_ref, x_ref, vis_ref, *, V: int, dtype):
+            o1_ref, o2_ref, *, V: int, dtype):
+    """VMEM-budget-shaped rewrite (round 4): instead of keeping every per-view
+    intermediate live across a fully unrolled V=6 body (~22 MB at tile 2048 —
+    the round-3 scoped-VMEM OOM), the cross-view reductions run as sequential
+    accumulator passes that RECOMPUTE the two tiny per-view MLPs (ray_dir_fc,
+    neuray_fc: 4->16->38 and 32->8->1 matmuls) instead of storing their
+    outputs, and the final mean/var pass re-reads x/vis from the output block.
+    Live set per step: a handful of [tile, <=256-lane] f32 tiles."""
+
     def mm(x, kref, bref):
         y = jax.lax.dot_general(
             x.astype(dtype), kref[:].astype(dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return (y + bref[:].astype(jnp.float32)).astype(dtype)
+        return y + bref[:].astype(jnp.float32)   # stays f32
 
-    masks = [mask_ref[v].astype(dtype) for v in range(V)]
-    msum = sum(masks) + 1e-8
-    nv_ref[:] = sum(m.astype(jnp.float32) for m in masks)
+    def load(v):
+        row = pin_ref[v].astype(jnp.float32)     # [T, 72]
+        rgbf = row[:, :C_RGBF]
+        neur = row[:, C_RGBF:C_RGBF + C_NEUR]
+        rdiff = row[:, C_RGBF + C_NEUR:C_RGBF + C_NEUR + C_DIFF]
+        msk = row[:, C_IN - 1:C_IN]
+        return rgbf, neur, rdiff, msk
 
-    rfs, w0s, weights_, neurs = [], [], [], []
+    def rf_weight_w0(v, msum):
+        """Recomputable per-view quantities (two tiny MLPs)."""
+        rgbf, neur, rdiff, msk = load(v)
+        df = _elu(mm(_elu(mm(rdiff, wd0k, wd0b)), wd1k, wd1b))
+        rf = rgbf + df
+        weight = msk / msum
+        w0 = jax.nn.sigmoid(mm(_elu(mm(neur, wn0k, wn0b)), wn1k, wn1b))
+        return rf, weight, w0 * weight, neur, msk
+
+    # pass 0: mask sum (denominator) + num_valid output (nv must stay exact —
+    # downstream gates compare num_valid < 1 / > 1)
+    nv = 0.0
     for v in range(V):
-        rdiff = rdiff_ref[v].astype(dtype)
-        df = _elu(mm(rdiff, wd0k, wd0b))
-        df = _elu(mm(df, wd1k, wd1b))
-        rf = rgbf_ref[v].astype(dtype) + df
-        neur = neur_ref[v].astype(dtype)
-        weight = masks[v] / msum
-        w0 = _elu(mm(neur, wn0k, wn0b))
-        w0 = jax.nn.sigmoid(mm(w0, wn1k, wn1b)) * weight
-        rfs.append(rf)
-        w0s.append(w0)
-        weights_.append(weight)
-        neurs.append(neur)
+        nv = nv + pin_ref[v, :, C_IN - 1:C_IN].astype(jnp.float32)
+    msum = nv + 1e-8
 
-    mean0 = sum(rf * w0 for rf, w0 in zip(rfs, w0s))
-    var0 = sum(w0 * (rf - mean0) ** 2 for rf, w0 in zip(rfs, w0s))
-    mean1 = sum(rf * w for rf, w in zip(rfs, weights_))
-    var1 = sum(w * (rf - mean1) ** 2 for rf, w in zip(rfs, weights_))
+    # pass 1: weighted means (both weightings share the recomputed rf)
+    mean0 = mean1 = 0.0
+    for v in range(V):
+        rf, weight, w0, _, _ = rf_weight_w0(v, msum)
+        mean0 = mean0 + rf * w0
+        mean1 = mean1 + rf * weight
+    # pass 2: weighted variances (reference formula, recompute rf)
+    var0 = var1 = 0.0
+    for v in range(V):
+        rf, weight, w0, _, _ = rf_weight_w0(v, msum)
+        var0 = var0 + w0 * (rf - mean0) ** 2
+        var1 = var1 + weight * (rf - mean1) ** 2
     gf = jnp.concatenate([mean0, var0, mean1, var1], -1)  # [T,140]
 
-    xs, viss = [], []
+    # pass 3: per-view base/vis MLPs -> write x|vis to the output block,
+    # accumulating the vis-sum denominator
+    vsum = 1e-8
     for v in range(V):
-        xin = jnp.concatenate([gf, rfs[v], neurs[v]], -1)  # [T,207]
-        x = _elu(mm(xin, wb0k, wb0b))
-        x = _elu(mm(x, wb1k, wb1b))
-        xv = _elu(mm(x * weights_[v], wv0k, wv0b))
-        xv = _elu(mm(xv, wv1k, wv1b))
-        x_res, vis = xv[..., :C_X], xv[..., C_X:]
-        vis = jax.nn.sigmoid(vis) * masks[v]
-        x = x + x_res
-        v2 = _elu(mm(x * vis, wv20k, wv20b))
-        vis = jax.nn.sigmoid(mm(v2, wv21k, wv21b)) * masks[v]
-        xs.append(x)
-        viss.append(vis)
-        x_ref[v] = x
-        vis_ref[v] = vis
+        rf, weight, _, neur, msk = rf_weight_w0(v, msum)
+        xin = jnp.concatenate([gf, rf, neur], -1)          # [T,207]
+        x = _elu(mm(_elu(mm(xin, wb0k, wb0b)), wb1k, wb1b))
+        xv = _elu(mm(_elu(mm(x * weight, wv0k, wv0b)), wv1k, wv1b))
+        x = x + xv[:, :C_X]
+        vis = jax.nn.sigmoid(xv[:, C_X:]) * msk
+        vis = jax.nn.sigmoid(
+            mm(_elu(mm(x * vis, wv20k, wv20b)), wv21k, wv21b)) * msk
+        vsum = vsum + vis
+        o2_ref[v] = jnp.concatenate([x, vis], -1).astype(o2_ref.dtype)
 
-    vsum = sum(viss) + 1e-8
-    w2s = [v / vsum for v in viss]
-    mean = sum(x * w for x, w in zip(xs, w2s))
-    var = sum(w * (x - mean) ** 2 for x, w in zip(xs, w2s))
-    wmean = sum(w2s) / V
-    fc_ref[:] = jnp.concatenate([mean, var, wmean], -1).astype(fc_ref.dtype)
+    # passes 4/5: final vis-weighted mean/var over views, re-reading x|vis
+    # from the output block (VMEM-resident, free)
+    mean = 0.0
+    wmean = 0.0
+    for v in range(V):
+        row = o2_ref[v].astype(jnp.float32)
+        w2 = row[:, C_X:] / vsum
+        mean = mean + row[:, :C_X] * w2
+        wmean = wmean + w2
+    var = 0.0
+    for v in range(V):
+        row = o2_ref[v].astype(jnp.float32)
+        w2 = row[:, C_X:] / vsum
+        var = var + w2 * (row[:, :C_X] - mean) ** 2
+
+    o1_ref[:] = jnp.concatenate([mean, var, wmean / V, nv], -1)
 
 
 def _view_fuse_pallas(rgbf, neur, rdiff, mask, weights, dtype,
-                      tile: int = 2048):
+                      tile: int = 512):
     V, N, _ = rgbf.shape
+    pin = jnp.concatenate(
+        [rgbf.astype(dtype), neur.astype(dtype), rdiff.astype(dtype),
+         mask.astype(dtype)], -1)                # [V, N, 72] one padded tile
     pad = (-N) % tile
     if pad:
-        z = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
-        rgbf, neur, rdiff, mask = z(rgbf), z(neur), z(rdiff), z(mask)
+        pin = jnp.pad(pin, ((0, 0), (0, pad), (0, 0)))
     Np = N + pad
     nt = Np // tile
 
@@ -187,40 +219,29 @@ def _view_fuse_pallas(rgbf, neur, rdiff, mask, weights, dtype,
         flat_w += [k, b.reshape(1, -1)]  # 2D biases for Mosaic layout
 
     in_specs = [
-        pl.BlockSpec((V, tile, rgbf.shape[-1]), lambda t: (0, t, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((V, tile, neur.shape[-1]), lambda t: (0, t, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((V, tile, rdiff.shape[-1]), lambda t: (0, t, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((V, tile, 1), lambda t: (0, t, 0),
+        pl.BlockSpec((V, tile, C_IN), lambda t: (0, t, 0),
                      memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_w]
 
-    out_dtype = dtype
-    fc, nv, x, vis = pl.pallas_call(
+    o1, o2 = pl.pallas_call(
         functools.partial(_kernel, V=V, dtype=dtype),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((tile, C_OUT), lambda t: (t, 0),
+            pl.BlockSpec((tile, C_O1), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, tile, C_X), lambda t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, tile, 1), lambda t: (0, t, 0),
+            pl.BlockSpec((V, tile, C_O2), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Np, C_OUT), out_dtype),
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-            jax.ShapeDtypeStruct((V, Np, C_X), out_dtype),
-            jax.ShapeDtypeStruct((V, Np, 1), out_dtype),
+            jax.ShapeDtypeStruct((Np, C_O1), jnp.float32),
+            jax.ShapeDtypeStruct((V, Np, C_O2), jnp.float32),
         ),
-    )(rgbf, neur, rdiff, mask, *flat_w)
-    if pad:
-        fc, nv, x, vis = fc[:N], nv[:N], x[:, :N], vis[:, :N]
+    )(pin, *flat_w)
+    fc = o1[:N, :C_OUT].astype(dtype)
+    nv = o1[:N, C_OUT:]
+    x = o2[:, :N, :C_X].astype(dtype)
+    vis = o2[:, :N, C_X:].astype(dtype)
     return fc, nv, x, vis
 
 
