@@ -120,10 +120,16 @@ def moller_trumbore(o: np.ndarray, d: np.ndarray, tri: np.ndarray,
 
 
 def _parity_inside(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
-    """Inside test by intersection-count parity along +z. p [N,3]."""
+    """Inside test by intersection-count parity along a fixed near-+z ray.
+
+    The direction is jittered off-axis so query points aligned with shared
+    edges/vertices of axis-aligned meshes don't double-count both adjacent
+    triangles under the inclusive (u>=0, v>=0, u+v<=1) bounds and flip the
+    parity."""
     N, T = p.shape[0], tri.shape[0]
     v0, e1, e2 = tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
-    d = np.array([0.0, 0.0, 1.0], np.float32)
+    d = np.array([0.0024671, 0.0017313, 1.0], np.float32)
+    d /= np.linalg.norm(d)
     counts = np.zeros(N, np.int64)
     h = np.cross(d, e2)                                    # [T,3]
     a = np.einsum("tj,tj->t", e1, h)
@@ -274,38 +280,62 @@ class MeshObject:
 
 
 # ----------------------------------------------------- descriptor replay
+# The reference workspace is corner-origin: [0, size]^2 in xy with the table
+# surface at z = table_height = finger_depth = 0.05 (ref src/gd/simulation.py
+# :72-73 place_table, :110 pose [0.15,0.15,height]; pile xy sampled in
+# [size/3, 2size/3] = [0.1, 0.2], packed in [0.08, 0.22]). This repo is
+# center-origin with the table at z=0 (sim/simulation.py WORKSPACE_LO/HI), so
+# reference coordinates shift by -REF_ORIGIN on load / +REF_ORIGIN on save.
+REF_ORIGIN = np.array([0.15, 0.15, 0.05], np.float32)
+
+
 def load_mesh_pose_list(path: str, asset_root: str = "",
-                        scene: str = "pile"):
+                        scene: str = "pile", ref_origin=REF_ORIGIN):
     """Parse a reference-format scene descriptor npz into replayable entries.
 
     Matches ref src/gd/simulation.py:
-      pile   {i: [scale, quat_xyzw(4), xy(2) or trans(3), urdf]}  (:168-191)
-      packed {i: [scale, angle, x, y, urdf]}                      (:211-240)
+      pile   {i: [scale, quat_xyzw(4), xy(2)]} spawn descriptors or
+             {uid: [scale, quat_xyzw(4), trans(3), urdf]} rest poses
+             (:168-203; only piles save the 3-vector rest variant)
+      packed {i: [scale, angle, x, y, urdf]} spawn descriptors (:211-240 —
+             the reference's packed loader consumes only this 5-tuple form)
 
-    Returns a list of dicts {mesh: MeshObject, drop_t: [3], urdf: str}.
-    The MeshObject carries the descriptor's rotation; `drop_t` is the
-    reference's spawn translation (z may be a drop height for pile scenes
-    -- callers settle the object, mirroring the pybullet drop).
+    Entries come back in dict insertion order — the reference iterates
+    `dict.values()` and rest-pose dicts are keyed by body_uid strings, so
+    lexicographic key sort would reorder ('10' < '2') and change sequential
+    drop/settle outcomes.
+
+    Positions are translated from the reference's corner-origin frame into
+    this repo's center-origin frame (see REF_ORIGIN; pass ref_origin=None to
+    keep raw coordinates). Returns a list of dicts
+    {mesh: MeshObject, drop_t: [3], rest: bool, urdf: str}; `drop_t` z is the
+    reference's drop height (table + 0.2) for pile spawn entries, the exact
+    rest height for rest-pose entries, and half the object's AABB height is
+    applied by the caller for packed placement (ref :245-248).
     """
+    off = (np.zeros(3, np.float32) if ref_origin is None
+           else np.asarray(ref_origin, np.float32))
     d = np.load(path, allow_pickle=True).item()
     entries = []
-    for key in sorted(d.keys()):
-        val = d[key]
+    for val in d.values():
         scale = float(val[0])
+        rest = False
         if scene == "packed":
             angle, x, y, urdf = float(val[1]), float(val[2]), float(val[3]), \
                 str(val[4])
             R = Rotation.from_rotvec([0, 0, angle]).as_matrix()
-            drop_t = np.array([x, y, 0.2], np.float32)
+            drop_t = np.array([x - off[0], y - off[1], 0.0], np.float32)
         else:
             quat = np.asarray(val[1], np.float32)          # (x, y, z, w)
             xy = np.asarray(val[2], np.float32).reshape(-1)
             urdf = str(val[3])
             R = Rotation.from_quat(quat).as_matrix()
             if xy.shape[0] == 3:                           # rest pose variant
-                drop_t = xy.astype(np.float32)
-            else:
-                drop_t = np.array([xy[0], xy[1], 0.2], np.float32)
+                drop_t = xy.astype(np.float32) - off
+                rest = True
+            else:                                          # ref z = table+0.2
+                drop_t = np.array([xy[0] - off[0], xy[1] - off[1], 0.2],
+                                  np.float32)
         urdf_path = urdf if os.path.isabs(urdf) else \
             os.path.join(asset_root, urdf)
         mesh_path, mesh_scale = mesh_from_urdf(urdf_path)
@@ -313,19 +343,24 @@ def load_mesh_pose_list(path: str, asset_root: str = "",
         obj = MeshObject(verts * mesh_scale[None], faces,
                          R=R.astype(np.float32), t=drop_t, scale=scale,
                          name=os.path.basename(urdf_path))
-        entries.append({"mesh": obj, "drop_t": drop_t, "urdf": urdf_path})
+        entries.append({"mesh": obj, "drop_t": drop_t, "rest": rest,
+                        "urdf": urdf_path})
     return entries
 
 
-def save_mesh_pose_list(path: str, entries, scene: str = "pile"):
-    """Write a reference-format descriptor (inverse of load_mesh_pose_list):
-    {i: [scale, quat_xyzw, trans(3), urdf]} via np.save(.item()-compatible).
-    Uses the 3-vector rest-pose translation variant
+def save_mesh_pose_list(path: str, entries, scene: str = "pile",
+                        ref_origin=REF_ORIGIN):
+    """Write a reference-format rest-pose descriptor (inverse of
+    load_mesh_pose_list): {i: [scale, quat_xyzw, trans(3), urdf]}, with
+    translations shifted back into the reference's corner-origin frame
     (ref src/gd/simulation.py:201-203)."""
+    off = (np.zeros(3, np.float32) if ref_origin is None
+           else np.asarray(ref_origin, np.float32))
     d = {}
     for i, e in enumerate(entries):
         obj = e["mesh"]
         quat = Rotation.from_matrix(obj.R).as_quat().astype(np.float32)
-        d[i] = [np.float32(obj.scale), quat, obj.t.astype(np.float32),
+        d[i] = [np.float32(obj.scale), quat,
+                obj.t.astype(np.float32) + off,
                 str(e.get("urdf", obj.name))]
     np.save(path, np.array(d, dtype=object), allow_pickle=True)

@@ -121,19 +121,37 @@ class ClutterRemovalSim:
 
     def reset_from_mesh_pose_list(self, path: str, asset_root: str = ""
                                   ) -> PrimScene:
-        """Replay a reference-format `mesh_pose_list` descriptor: load each
-        URDF mesh at its recorded rotation/xy, drop-settle in order (pile)
-        or place directly (packed rest poses carry a full translation), then
-        clean up — mirroring ref simulation.py:158-203 load_scene_descriptor
-        semantics without pybullet."""
+        """Replay a reference-format `mesh_pose_list` descriptor (coordinates
+        are translated into this repo's center-origin frame by
+        mesh.load_mesh_pose_list). Placement mirrors ref simulation.py:
+          pile spawn entries  drop from table+0.2 and settle sequentially
+                              (:177-191)
+          pile rest poses     placed exactly at the recorded rest pose
+                              (:201-203; minimal depenetration only)
+          packed entries      upright at the recorded xy, z = half the world
+                              AABB height + 2 mm, REJECTED on contact instead
+                              of settled (:245-255)
+        then remove_and_wait cleanup (:424-463)."""
         from .mesh import load_mesh_pose_list
         entries = load_mesh_pose_list(path, asset_root, self.scene_type)
         self.scene = PrimScene()
         for e in entries:
             obj = e["mesh"]
+            if self.scene_type == "packed":
+                tris = obj.world_triangles()
+                half_h = 0.5 * (tris[..., 2].max() - tris[..., 2].min())
+                obj.t = np.array([obj.t[0], obj.t[1], half_h + 0.002],
+                                 np.float32)
+                idx = self.scene.add(obj)
+                pts = obj.surface_points(256, self.rng)
+                d = self.scene.sdf(pts, exclude=idx, with_table=True)
+                if float(np.min(d)) < -1e-4:   # in contact -> reject
+                    self.scene.remove(idx)
+                continue
             idx = self.scene.add(obj)
-            drop = self._support_drop(obj, idx_exclude=idx)
-            obj.t[2] -= drop
+            if not e.get("rest", False):
+                drop = self._support_drop(obj, idx_exclude=idx)
+                obj.t[2] -= drop
             self._depenetrate_up(idx)
         self.remove_and_wait()
         return self.scene

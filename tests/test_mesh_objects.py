@@ -140,7 +140,13 @@ def test_scene_trace_mixed_native_vs_numpy(tmp_path, rng, monkeypatch):
 
 
 def test_mesh_pose_list_roundtrip_and_replay(tmp_path):
-    """Reference-format descriptor -> replayed settled scene."""
+    """GENUINE reference-range descriptor -> replayed settled scene.
+
+    The reference samples pile xy in [size/3, 2size/3] = [0.1, 0.2] of its
+    corner-origin workspace (ref src/gd/simulation.py:180); the loader must
+    translate those into this repo's center-origin frame ([-0.05, 0.05])
+    instead of consuming them verbatim (which would park the pile at the
+    workspace corner and silently discard objects)."""
     root = str(tmp_path)
     urdf1 = _cube_urdf(root, "obj_a", h=0.018)
     urdf2 = _cube_urdf(root, "obj_b", h=0.022, scale=0.9)
@@ -151,7 +157,7 @@ def test_mesh_pose_list_roundtrip_and_replay(tmp_path):
         q /= np.linalg.norm(q)
         desc[i] = [np.float32(rng.uniform(0.8, 1.0)),
                    q.astype(np.float32),
-                   rng.uniform(-0.05, 0.05, 2).astype(np.float32),
+                   rng.uniform(0.1, 0.2, 2).astype(np.float32),  # ref range
                    os.path.basename(urdf)]  # relative path + asset_root
     path = os.path.join(root, "scene.npy")
     np.save(path, np.array(desc, dtype=object), allow_pickle=True)
@@ -159,22 +165,70 @@ def test_mesh_pose_list_roundtrip_and_replay(tmp_path):
     entries = load_mesh_pose_list(path, asset_root=root, scene="pile")
     assert len(entries) == 2
     np.testing.assert_allclose(entries[0]["mesh"].scale, desc[0][0])
+    # corner-origin -> center-origin translation applied on load
+    np.testing.assert_allclose(entries[0]["drop_t"][:2],
+                               desc[0][2] - 0.15, atol=1e-6)
 
     sim = ClutterRemovalSim("pile", rng=np.random.RandomState(0))
     scene = sim.reset_from_mesh_pose_list(path, asset_root=root)
     assert len(scene) == 2
     for ob in scene.objects:
-        # settled on/near the table, inside the workspace
+        # settled on/near the table, near the workspace CENTER
         low = ob.surface_points(256, np.random.RandomState(1))[:, 2].min()
         assert -5e-3 <= low <= 0.06
-        assert np.all(np.abs(ob.t[:2]) < 0.15)
+        assert np.all(np.abs(ob.t[:2]) < 0.08)
 
-    # rest-pose save -> reload replays without re-randomization
+    # rest-pose save -> reload replays without re-randomization (save shifts
+    # back into the reference frame; load undoes it)
     out = os.path.join(root, "rest.npy")
     save_mesh_pose_list(out, [{"mesh": ob, "urdf": e["urdf"]}
                               for ob, e in zip(scene.objects, entries)])
+    raw = np.load(out, allow_pickle=True).item()
+    assert all(v[2][0] >= 0 for v in raw.values())  # stored corner-origin
     entries2 = load_mesh_pose_list(out, asset_root=root, scene="pile")
     np.testing.assert_allclose(entries2[0]["mesh"].t, scene.objects[0].t,
+                               atol=1e-6)
+
+
+def test_mesh_pose_list_insertion_order(tmp_path):
+    """Rest-pose dicts are keyed by body_uid strings; the reference consumes
+    dict.values() in insertion order, so '10' must not sort before '2'."""
+    root = str(tmp_path)
+    urdf = _cube_urdf(root, "obj_a", h=0.018)
+    q = np.array([0, 0, 0, 1], np.float32)
+    desc = {"2": [np.float32(1.0), q, np.array([0.12, 0.12], np.float32),
+                  os.path.basename(urdf)],
+            "10": [np.float32(0.9), q, np.array([0.18, 0.18], np.float32),
+                   os.path.basename(urdf)]}
+    path = os.path.join(root, "scene.npy")
+    np.save(path, np.array(desc, dtype=object), allow_pickle=True)
+    entries = load_mesh_pose_list(path, asset_root=root, scene="pile")
+    np.testing.assert_allclose([e["mesh"].scale for e in entries],
+                               [1.0, 0.9], rtol=1e-6)
+
+
+def test_mesh_pose_list_packed_replay(tmp_path):
+    """Packed entries are placed upright at the recorded xy with z = half the
+    AABB height (ref :245-248) and REJECTED on contact, not drop-stacked."""
+    root = str(tmp_path)
+    urdf = _cube_urdf(root, "obj_a", h=0.02)
+    # two entries at the same spot: the second must be rejected
+    desc = {0: [np.float32(1.0), np.float32(0.3), np.float32(0.15),
+                np.float32(0.15), os.path.basename(urdf)],
+            1: [np.float32(1.0), np.float32(1.2), np.float32(0.152),
+                np.float32(0.15), os.path.basename(urdf)],
+            2: [np.float32(1.0), np.float32(0.0), np.float32(0.08),
+                np.float32(0.08), os.path.basename(urdf)]}
+    path = os.path.join(root, "scene.npy")
+    np.save(path, np.array(desc, dtype=object), allow_pickle=True)
+    sim = ClutterRemovalSim("packed", rng=np.random.RandomState(0))
+    scene = sim.reset_from_mesh_pose_list(path, asset_root=root)
+    assert len(scene) == 2  # overlapping second entry rejected
+    for ob in scene.objects:
+        # upright at half-height (+2 mm placement gap, closed by settling)
+        assert 0.0195 <= ob.t[2] <= 0.0225
+    np.testing.assert_allclose(scene.objects[0].t[:2], [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(scene.objects[1].t[:2], [-0.07, -0.07],
                                atol=1e-6)
 
 
