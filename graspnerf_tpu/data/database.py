@@ -101,15 +101,27 @@ class VGNSynDatabase:
         return DEPTH_RANGE.copy()
 
     def get_sdf(self) -> Optional[np.ndarray]:
-        """GT TSDF: stored [0,1] → [-1,1] (ref database.py:207-209)."""
+        """GT TSDF: stored [0,1] → [-1,1] (ref database.py:207-209).
+        Parsed once per database instance (ref asset.py:41-49 caches all
+        labels eagerly at import; here lazily on first access)."""
+        if hasattr(self, "_sdf_cache"):
+            return self._sdf_cache
         if self.sdf_path is None or not os.path.exists(self.sdf_path):
+            self._sdf_cache = None
             return None
         grid = np.load(self.sdf_path)["grid"]
-        return (grid.squeeze().astype(np.float32) * 2.0) - 1.0
+        self._sdf_cache = (grid.squeeze().astype(np.float32) * 2.0) - 1.0
+        return self._sdf_cache
 
     def get_grasp_info(self):
         """GIGA grasps.csv → (index [n,3], label, rot [n,2,4] xyzw, width
-        in voxels) (ref database.py:278-294)."""
+        in voxels) (ref database.py:278-294). CSV parsed once per instance."""
+        if hasattr(self, "_grasp_cache"):
+            return self._grasp_cache
+        self._grasp_cache = self._parse_grasp_info()
+        return self._grasp_cache
+
+    def _parse_grasp_info(self):
         if self.grasp_csv is None or not os.path.exists(self.grasp_csv):
             return None
         import csv as _csv

@@ -101,13 +101,23 @@ class VGNSynDataset:
         self.depth_noise = depth_noise
         self.aug_depth_range = aug_depth_range
         self.pad_interval = pad_interval
+        # per-scene database cache: the reference eagerly loads every grasp
+        # CSV at import (ref asset.py:41-49); constructing a fresh database
+        # per draw re-reads camera_pose.npy and re-parses the CSV every
+        # sample. Databases memoize their own sdf/grasp parses, so one
+        # instance per scene makes those one-time costs.
+        self._db_cache = {}
 
     def _db(self, scene_dir: str) -> VGNSynDatabase:
-        import os
-        sid = os.path.basename(scene_dir)
-        sdf = (f"{self.sdf_root}/{sid}.npz" if self.sdf_root else None)
-        csv = (f"{self.grasp_root}/{sid}.csv" if self.grasp_root else None)
-        return VGNSynDatabase(scene_dir, sdf, csv)
+        db = self._db_cache.get(scene_dir)
+        if db is None:
+            import os
+            sid = os.path.basename(scene_dir)
+            sdf = (f"{self.sdf_root}/{sid}.npz" if self.sdf_root else None)
+            csv = (f"{self.grasp_root}/{sid}.csv" if self.grasp_root else None)
+            db = VGNSynDatabase(scene_dir, sdf, csv)
+            self._db_cache[scene_dir] = db
+        return db
 
     def sample(self):
         rng = self.rng

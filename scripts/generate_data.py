@@ -1,17 +1,66 @@
 """Offline dataset generator (ref: data_generator/ + run_pile_rand.sh role).
 
-Renders procedural scenes to the vgn_syn file contract consumed by
+Renders scenes to the vgn_syn file contract consumed by
 graspnerf_tpu.data.VGNSynDataset (and by the reference's own loader):
 rgb/%04d.png, depth/%04d.exr (written as .npy fallback when EXR is
 unavailable), camera_pose.npy, GT TSDF npz, grasps.csv.
 
+Two scene sources:
+  * procedural primitives (default) — self-contained synthetic scenes;
+  * --mesh-pose-dir DIR — replay reference-format `mesh_pose_list`
+    descriptors (ref src/gd/simulation.py:85-96,158-271) through
+    ClutterRemovalSim.reset_from_mesh_pose_list, render with the
+    domain-randomizing tracer (ref rd/render.py role), and label grasps by
+    PHYSICALLY EXECUTING candidates in the replayed scene — the GIGA
+    labeling process the reference's grasps.csv files come from
+    (ref src/nr/dataset/database.py:278-294).
+
   python scripts/generate_data.py out_root --scenes 10
+  python scripts/generate_data.py out_root --mesh-pose-dir descs/ \
+      --asset-root assets/ --scene-type pile
 """
 import argparse
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def executed_grasp_labels(sim, tsdf, rng, n_grasps, voxel, bbox_min):
+    """GIGA-style labels: candidate centers on the observed TSDF surface
+    band, approach in a ~30 deg cone about straight-down with random yaw,
+    each candidate executed in the (unmodified) sim; label = physical
+    success, width = measured closing width."""
+    import numpy as np
+    from graspnerf_tpu.sim.grasp import Label
+    from graspnerf_tpu.sim.transform import Rotation, Transform
+
+    res = tsdf.shape[0]
+    near = np.argwhere((np.abs(tsdf) < 0.3) & (tsdf != -1.0))
+    if len(near) == 0:
+        near = np.stack(np.unravel_index(
+            rng.randint(0, res ** 3, 64), tsdf.shape), -1)
+    flip = np.diag([1.0, -1.0, -1.0])  # gripper z -> world -z
+    idx, labels, quats, widths = [], [], [], []
+    for _ in range(n_grasps):
+        v = near[rng.randint(0, len(near))]
+        pos = (v.astype(np.float64) + 0.5) * voxel + bbox_min  # world
+        yaw = rng.uniform(0, 2 * np.pi)
+        tilt, taz = rng.uniform(0, np.pi / 6), rng.uniform(0, 2 * np.pi)
+        Rm = (Rotation.from_rotvec(
+                  tilt * np.array([np.cos(taz), np.sin(taz), 0.0]))
+              .as_matrix() @ flip
+              @ Rotation.from_rotvec([0, 0, yaw]).as_matrix())
+        rot = Rotation.from_matrix(Rm)
+        (label, width), _ = sim.execute_grasp(
+            (Transform(rot, pos), sim.gripper.max_opening_width),
+            remove=False)
+        idx.append(v)
+        labels.append(float(label == Label.SUCCESS))
+        quats.append(rot.as_quat())
+        widths.append(width / voxel)
+    return (np.asarray(idx, np.int32), np.asarray(labels, np.float32),
+            np.asarray(quats, np.float32), np.asarray(widths, np.float32))
 
 
 def main():
@@ -24,7 +73,22 @@ def main():
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--objects", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh-pose-dir", default=None,
+                   help="directory of reference mesh_pose_list descriptors "
+                        "to replay instead of procedural scenes")
+    p.add_argument("--asset-root", default="",
+                   help="root for relative URDF paths in descriptors")
+    p.add_argument("--grasp-candidates", type=int, default=40,
+                   help="executed grasp candidates per replayed scene")
+    p.add_argument("--cpu", action="store_true",
+                   help="pin jax to CPU (the only jax use is the small TSDF "
+                        "integration; avoids depending on an accelerator "
+                        "tunnel for a host-side data tool)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
     from PIL import Image
@@ -50,20 +114,45 @@ def main():
         d.mkdir(parents=True, exist_ok=True)
 
     voxel = 0.3 / 40
-    for s in range(args.scenes):
-        sid = f"scene_{args.seed:02d}_{s:04d}"
+
+    if args.mesh_pose_dir:
+        descs = sorted(p for p in Path(args.mesh_pose_dir).iterdir()
+                       if p.suffix in (".npy", ".npz"))
+        if not descs:
+            raise FileNotFoundError(f"no descriptors in {args.mesh_pose_dir}")
+        jobs = [(d.stem, d) for d in descs]
+    else:
+        jobs = [(f"scene_{args.seed:02d}_{s:04d}", None)
+                for s in range(args.scenes)]
+
+    for s, (sid, desc) in enumerate(jobs):
         sdir = base / sid
         (sdir / "rgb").mkdir(parents=True, exist_ok=True)
         (sdir / "depth").mkdir(exist_ok=True)
         (sdir / "mask").mkdir(exist_ok=True)
-        scene = Scene(rng, args.objects)
+
+        if desc is None:
+            scene = Scene(rng, args.objects)
+            render = lambda pose: scene.render(pose, K, args.height,
+                                               args.width)
+            sim = None
+        else:
+            from graspnerf_tpu.sim.simulation import ClutterRemovalSim
+            from graspnerf_tpu.sim.render import DomainRandomizer
+            sim = ClutterRemovalSim(args.scene_type,
+                                    rng=np.random.RandomState(args.seed + s))
+            sim.reset_from_mesh_pose_list(str(desc), args.asset_root)
+            randomizer = DomainRandomizer(np.random.RandomState(args.seed + s))
+            randomizer.init_scene(sim.scene)
+            render = lambda pose: sim.observe(pose, K, args.height,
+                                              args.width, randomizer)
 
         cam_world = []
         depths, exts, Ks = [], [], []
         shift = np.eye(4, dtype=np.float32)
         shift[:3, 3] = BBOX_MIN
         for i, pose in enumerate(poses):
-            rgb, depth, fg = scene.render(pose, K, args.height, args.width)
+            rgb, depth, fg = render(pose)
             Image.fromarray((rgb * 255).astype(np.uint8)).save(
                 sdir / "rgb" / ("%04d.png" % i))
             np.save(sdir / "depth" / ("%04d.npy" % i), depth)
@@ -84,18 +173,26 @@ def main():
         np.savez_compressed(sdf_dir / f"{sid}.npz",
                             grid=((tsdf + 1.0) / 2.0)[None].astype(np.float32))
 
-        ds = SyntheticSceneDataset(seed=args.seed + s)
-        ds_scene = ds._grasp_labels(tsdf.astype(np.float32), rng)
-        idx, label, rot, width = ds_scene
+        if sim is not None:
+            idx, label, q1, width = executed_grasp_labels(
+                sim, tsdf.astype(np.float32), rng, args.grasp_candidates,
+                voxel, BBOX_MIN)
+            rot = q1[:, None]  # csv stores one quat; loader adds symmetry
+            width_vox = width
+        else:
+            ds = SyntheticSceneDataset(seed=args.seed + s)
+            idx, label, rot, width_vox = ds._grasp_labels(
+                tsdf.astype(np.float32), rng)
         with open(grasp_dir / f"{sid}.csv", "w") as f:
             f.write("scene_id,qx,qy,qz,qw,x,y,z,width,label\n")
             for j in range(len(label)):
                 x, y, z = (idx[j].astype(np.float64) + 0.5) * voxel
                 qx, qy, qz, qw = rot[j, 0]
                 f.write(f"{sid},{qx},{qy},{qz},{qw},{x},{y},{z},"
-                        f"{width[j] * voxel},{int(label[j])}\n")
-        print(f"[generate] {sid}: {args.objects} objects, "
-              f"{int(label.sum())} positive grasps")
+                        f"{width_vox[j] * voxel},{int(label[j])}\n")
+        print(f"[generate] {sid}: "
+              f"{len(sim.scene) if sim is not None else args.objects} "
+              f"objects, {int(label.sum())} positive grasps")
 
 
 if __name__ == "__main__":

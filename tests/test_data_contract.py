@@ -6,6 +6,7 @@ import sys
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 
 @pytest.fixture(scope="module")
@@ -13,7 +14,7 @@ def data_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("vgn_syn")
     out = subprocess.run(
         [sys.executable, "scripts/generate_data.py", str(root), "--scenes",
-         "2", "--height", "72", "--width", "96", "--objects", "3"],
+         "2", "--height", "72", "--width", "96", "--objects", "3", "--cpu"],
         capture_output=True, text=True, timeout=500)
     assert out.returncode == 0, out.stderr[-2000:]
     return root
@@ -76,3 +77,80 @@ def test_view_selection_hard_mode():
         for i in ids:
             daz = min((i % 6 - que_az) % 6, (que_az - i % 6) % 6)
             assert daz >= 2, (que, i)
+
+
+# ---------------------------------------------------------------------------
+# Reference-descriptor replay -> generated dataset -> train step (the GIGA
+# data-generation loop: ref src/gd/simulation.py:85-96 descriptors ->
+# data_generator rendering -> src/nr/dataset/database.py:207-209,278-294
+# GT-TSDF npz + grasps.csv contract).
+@pytest.fixture(scope="module")
+def replay_root(tmp_path_factory):
+    from test_mesh_objects import _cube_urdf
+    root = tmp_path_factory.mktemp("replay")
+    assets = root / "assets"
+    assets.mkdir()
+    _cube_urdf(str(assets), "obj_a", h=0.018)
+    _cube_urdf(str(assets), "obj_b", h=0.022)
+    rng = np.random.RandomState(5)
+    desc = {}
+    for i, u in enumerate(["obj_a.urdf", "obj_b.urdf"]):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        desc[i] = [np.float32(0.9), q.astype(np.float32),
+                   rng.uniform(0.1, 0.2, 2).astype(np.float32), u]
+    ddir = root / "descs"
+    ddir.mkdir()
+    np.save(ddir / "scene_a.npy", np.array(desc, dtype=object),
+            allow_pickle=True)
+    out_root = root / "vgn_syn"
+    out = subprocess.run(
+        [sys.executable, "scripts/generate_data.py", str(out_root),
+         "--mesh-pose-dir", str(ddir), "--asset-root", str(assets),
+         "--height", "72", "--width", "96", "--grasp-candidates", "12",
+         "--cpu"],
+        capture_output=True, text=True, timeout=500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out_root
+
+
+def test_replayed_scene_generates_giga_contract(replay_root):
+    from graspnerf_tpu.data import VGNSynDatabase, discover_scenes
+    scenes = discover_scenes(str(replay_root))
+    assert len(scenes) == 1 and scenes[0].endswith("scene_a")
+    db = VGNSynDatabase(scenes[0],
+                        sdf_path=str(replay_root / "sdf" / "scene_a.npz"),
+                        grasp_csv=str(replay_root / "grasps" / "scene_a.csv"),
+                        scale=0.15)
+    sdf = db.get_sdf()
+    assert sdf.shape == (40, 40, 40)
+    assert (sdf < 0).any() and (sdf > -1.0).any()  # objects were rendered
+    idx, label, rot, width = db.get_grasp_info()
+    assert len(label) == 12
+    # executed labels: quaternions normalized, widths inside gripper range
+    np.testing.assert_allclose(np.linalg.norm(rot, axis=-1), 1.0, atol=1e-5)
+    assert (width >= 0).all() and (width <= 0.081 / (0.3 / 40)).all()
+
+
+def test_replayed_scene_trains(replay_root):
+    import jax
+    from graspnerf_tpu.data import VGNSynDataset
+    from graspnerf_tpu.models import GraspNeRF
+    from graspnerf_tpu.train import create_train_state, make_train_step
+
+    ds = VGNSynDataset(str(replay_root), sdf_root=str(replay_root / "sdf"),
+                       grasp_root=str(replay_root / "grasps"), n_rays=32,
+                       n_grasps=8)
+    b = ds.sample()
+    # shrink the volume workload for the CPU step: 20^3 grid, GT strided 2x
+    b["sdf_gt"] = b["sdf_gt"][::2, ::2, ::2]
+    b["data"]["grasp_index"] = b["data"]["grasp_index"] // 2
+    batch = jax.tree_util.tree_map(jnp.asarray, b)
+
+    model = GraspNeRF(renderer_cfg=dict(volume_resolution=20,
+                                        use_hierarchical_sampling=False))
+    state = create_train_state(model, batch, jax.random.PRNGKey(0))
+    step = make_train_step(model)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    assert np.isfinite(float(metrics["loss_vgn"]))
