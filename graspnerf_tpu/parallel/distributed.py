@@ -41,12 +41,31 @@ def global_mesh(n_space_per_host: Optional[int] = None) -> Mesh:
     return Mesh(devices.reshape(n_data, per_host), (DATA_AXIS, SPACE_AXIS))
 
 
-def host_local_batch_to_global(mesh: Mesh, batch, ray_keys=("coords",)):
-    """Assemble a global array batch from per-host local batches: scene axis
-    sharded over `data` across hosts, ray arrays additionally over `space`."""
+def host_local_batch_to_global(mesh: Mesh, batch, scene_axis: bool = True,
+                               ray_keys=("coords",)):
+    """Assemble a global array batch from per-host local batches.
+
+    Mirrors mesh.shard_batch's placement so the same pjit train step works
+    single- and multi-host: with scene_axis, the leading scene axis of every
+    array shards over `data` (each process contributes its local scenes);
+    ray arrays ([*, qn, rn, 2]) additionally split rays over `space`.
+    Scalars (and everything when scene_axis=False except ray arrays)
+    replicate — every process must then pass identical values."""
+    n_data = mesh.shape[DATA_AXIS]
+
     def put(path, x):
+        x = np.asarray(x)
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        spec = (P(None, SPACE_AXIS) if name in ray_keys else P())
+        lead = (DATA_AXIS,) if scene_axis else ()
+        if scene_axis and (x.ndim == 0 or x.shape[0] % max(
+                n_data // jax.process_count(), 1) != 0):
+            spec = P()
+        elif name in ray_keys:
+            spec = P(*lead, None, SPACE_AXIS)
+        elif scene_axis:
+            spec = P(*lead)
+        else:
+            spec = P()
         return jax.make_array_from_process_local_data(
-            NamedSharding(mesh, spec), np.asarray(x))
+            NamedSharding(mesh, spec), x)
     return jax.tree_util.tree_map_with_path(put, batch)
