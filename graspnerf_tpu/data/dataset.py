@@ -90,8 +90,13 @@ class VGNSynDataset:
                  n_rays: int = 512, n_grasps: int = 32, seed: int = 0,
                  scene_types=("pile", "packed"), split: str = "train",
                  depth_noise: bool = False, aug_depth_range: bool = True,
-                 pad_interval: int = 32):
-        self.scenes = discover_scenes(root, scene_types, split)
+                 pad_interval: int = 32,
+                 scenes: Optional[List[str]] = None):
+        """`scenes` overrides directory discovery with an explicit scene-dir
+        list (train/val held-out splits — ref asset.py's train/val scene
+        lists)."""
+        self.scenes = (list(scenes) if scenes is not None
+                       else discover_scenes(root, scene_types, split))
         if not self.scenes:
             raise FileNotFoundError(f"no scenes under {root}")
         self.sdf_root = sdf_root

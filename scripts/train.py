@@ -85,18 +85,34 @@ def main():
 
     if args.data_dir:
         from graspnerf_tpu.data.dataset import VGNSynDataset
+        from graspnerf_tpu.data.database import discover_scenes
 
-        def factory(seed):
+        # Held-out validation SCENES (ref asset.py train/val scene lists):
+        # an on-disk val split when present, else the last train scene(s)
+        # withheld from training. Validation never draws from the training
+        # distribution sampler.
+        train_scenes = discover_scenes(args.data_dir, ("pile", "packed"),
+                                       "train")
+        val_scenes = discover_scenes(args.data_dir, ("pile", "packed"), "val")
+        if not val_scenes and len(train_scenes) > 1:
+            n_hold = max(1, len(train_scenes) // 10)
+            val_scenes = train_scenes[-n_hold:]
+            train_scenes = train_scenes[:-n_hold]
+
+        def factory(seed, scenes=train_scenes):
             return VGNSynDataset(args.data_dir, sdf_root=args.sdf_dir,
                                  grasp_root=args.grasp_dir, n_rays=n_rays,
-                                 seed=seed)
+                                 seed=seed, scenes=scenes)
+
+        val_ds = factory(args.seed + 777_777,
+                         scenes=val_scenes or train_scenes)
     else:
         def factory(seed):
             return SyntheticSceneDataset(h=args.height, w=args.width,
                                          n_rays=n_rays, seed=seed,
                                          resolution=res)
 
-    val_ds = factory(args.seed + 777_777)
+        val_ds = factory(args.seed + 777_777)
     val = [jax.tree_util.tree_map(jax.numpy.asarray, val_ds.sample())
            for _ in range(2)]
 
