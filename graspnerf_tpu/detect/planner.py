@@ -24,9 +24,25 @@ DEFAULT_BBOX_MIN = np.array([-0.15, -0.15, -0.0503], np.float32)
 VOXEL_SIZE = 0.3 / 40
 
 
+def load_checkpoint_params(ckpt_dir: str):
+    """Load planner params from an Orbax checkpoint directory — either a
+    trainer CheckpointManager step dir / `latest` symlink (payload
+    {"state": {"params", "opt_state"}, "step", "best"}) or a converted
+    reference checkpoint (scripts/convert_checkpoint.py — same layout minus
+    opt_state). Raw (abstract-free) restore so both layouts load through one
+    path; mirrors ref main.py:152-157 loading model_best.pth."""
+    import os
+    import orbax.checkpoint as ocp
+    path = os.path.realpath(ckpt_dir)
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    state = restored.get("state", restored)
+    return state["params"]
+
+
 class GraspNeRFPlanner:
     """Inference-only planner. Params come from an Orbax checkpoint (train
-    pipeline) or a converted reference checkpoint (scripts/convert_checkpoint).
+    pipeline) or a converted reference checkpoint (scripts/convert_checkpoint);
+    both load via `load_checkpoint_params`.
     """
 
     def __init__(self, params, renderer_cfg: Optional[dict] = None,

@@ -50,21 +50,8 @@ def model_planner_factory(ckpt: str | None, small: bool):
     if small:
         cfg["volume_resolution"] = 16
     if ckpt:
-        import orbax.checkpoint as ocp
-        from graspnerf_tpu.data import SyntheticSceneDataset
-        ds = SyntheticSceneDataset(h=96, w=128, n_rays=32, seed=0,
-                                   fuse_views=6)
-        batch = jax.tree_util.tree_map(jax.numpy.asarray, ds.sample())
-        model = GraspNeRF(renderer_cfg=cfg)
-        abstract = model.init(jax.random.PRNGKey(0), batch["data"],
-                              train=False)["params"]
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            Path(ckpt).absolute(),
-            {"state": {"params": jax.tree_util.tree_map(
-                ocp.utils.to_shape_dtype_struct, abstract)},
-             "step": np.asarray(0), "best": np.asarray(0.0)})
-        params = restored["state"]["params"]
+        from graspnerf_tpu.detect.planner import load_checkpoint_params
+        params = load_checkpoint_params(ckpt)
     else:
         # randomly initialised model — exercises the full pipeline
         from graspnerf_tpu.data import SyntheticSceneDataset
