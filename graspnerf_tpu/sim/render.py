@@ -28,12 +28,14 @@ import numpy as np
 
 from .objects import PrimScene
 
-# material classes (ref rd/modify_material.py: metal / porcelain / plastic /
-# paint / glass / rubber / paper / leather / wood / clay / fabric — the
-# Blinn-Phong-expressible subset, keyed by PrimObject.material % len)
+# material classes — all 11 reference families (ref rd/modify_material.py:
+# metal / porcelain / plastic / paint / glass / rubber / paper / leather /
+# wood / clay / fabric), keyed by PrimObject.material % len. Glass renders
+# with one-bounce Fresnel reflection + transmission (ref modify_material.py
+# :1490-1598 glass node graphs); leather/fabric get bumpy/woven albedo noise.
 MATERIAL_CLASSES = (
-    "metal", "porcelain", "plastic", "paint",
-    "rubber", "paper", "wood", "clay",
+    "metal", "porcelain", "plastic", "paint", "glass",
+    "rubber", "paper", "leather", "wood", "clay", "fabric",
 )
 
 _CLASS_PARAMS = {
@@ -42,11 +44,19 @@ _CLASS_PARAMS = {
     "porcelain": (0.7,  64.0,      0.0,      (0.6, 0.95)),
     "plastic":   (0.5,  32.0,      0.0,      (0.2, 0.9)),
     "paint":     (0.4,  24.0,      0.0,      (0.2, 0.9)),
+    "glass":     (0.9,  96.0,      0.0,      (0.7, 0.98)),
     "rubber":    (0.1,  8.0,       0.0,      (0.05, 0.5)),
     "paper":     (0.05, 4.0,       0.0,      (0.5, 0.95)),
+    "leather":   (0.25, 10.0,      0.0,      (0.1, 0.55)),
     "wood":      (0.2,  12.0,      0.0,      (0.25, 0.7)),
     "clay":      (0.15, 8.0,       0.0,      (0.3, 0.7)),
+    "fabric":    (0.02, 2.0,       0.0,      (0.15, 0.8)),
 }
+
+# albedo texture noise (amplitude, scale) per class — leather grain / wood
+# rings / fabric weave analogs of the reference's procedural node textures
+_CLASS_TEXTURE = {"leather": (0.25, 220.0), "fabric": (0.3, 420.0),
+                  "wood": (0.2, 60.0), "clay": (0.12, 90.0)}
 
 
 def _value_noise(x: np.ndarray, y: np.ndarray, seed: int, scale: float
@@ -86,11 +96,19 @@ class DomainRandomizer:
         cls = MATERIAL_CLASSES[ob.material % len(MATERIAL_CLASSES)]
         spec, shin, metal, (lo, hi) = _CLASS_PARAMS[cls]
         albedo = rng.uniform(lo, hi, 3).astype(np.float32)
+        if cls == "glass":
+            # near-white transmission tint, occasional colored glass
+            albedo = np.clip(albedo + rng.uniform(0.0, 0.3), 0.0, 1.0)
+        tex_amp, tex_scale = _CLASS_TEXTURE.get(cls, (0.0, 1.0))
         return {
             "class": cls, "albedo": albedo,
             "spec": spec * rng.uniform(0.7, 1.3),
             "shin": shin * rng.uniform(0.7, 1.3),
             "metal": metal,
+            # glass: Fresnel reflection + transmission (one bounce)
+            "transmit": (rng.uniform(0.75, 0.95) if cls == "glass" else 0.0),
+            "tex_amp": tex_amp * rng.uniform(0.6, 1.4) if tex_amp else 0.0,
+            "tex_scale": tex_scale,
         }
 
     def init_scene(self, scene: PrimScene):
@@ -130,7 +148,28 @@ class DomainRandomizer:
                 "dir": d, "color": (color * rng.uniform(0.5, 1.1)
                                     / n_lights).astype(np.float32)})
         self.ambient = rng.uniform(0.15, 0.4)
+        # environment lighting: a randomized horizon->zenith sky gradient
+        # (the procedural analog of the reference's HDRI env maps,
+        # ref rd/render_utils.py env-map lighting / rd/render.py:20-110) —
+        # miss rays see it, and the ambient term samples it at the normal
+        base_h = rng.uniform(0.25, 0.75, 3)
+        base_z = rng.uniform(0.2, 0.9, 3)
+        self.env = {
+            "horizon": base_h.astype(np.float32),
+            "zenith": base_z.astype(np.float32),
+            "strength": float(rng.uniform(0.6, 1.2)),
+        }
         return self
+
+    def env_color(self, dirs: np.ndarray) -> np.ndarray:
+        """Sky color for world directions [N,3]: horizon->zenith gradient,
+        dimmed below the horizon."""
+        z = np.clip(dirs[..., 2:3], -1.0, 1.0)
+        t = 0.5 * (z + 1.0)
+        c = (self.env["horizon"][None] * (1 - t) + self.env["zenith"][None] * t)
+        below = np.clip(-z, 0.0, 1.0)
+        return (c * self.env["strength"] * (1.0 - 0.7 * below)).astype(
+            np.float32)
 
     def update_sceneobj(self, scene: PrimScene):
         """Re-sync materials after objects were removed or added
@@ -158,12 +197,24 @@ class DomainRandomizer:
         spec = np.zeros(N, np.float32)
         shin = np.ones(N, np.float32)
         metal = np.zeros(N, np.float32)
+        transmit = np.zeros(N, np.float32)
         for i, m in enumerate(self.materials[:len(scene.objects)]):
             sel = ids == i
             albedo[sel] = m["albedo"]
             spec[sel] = m["spec"]
             shin[sel] = m["shin"]
             metal[sel] = m["metal"]
+            transmit[sel] = m.get("transmit", 0.0)
+            amp = m.get("tex_amp", 0.0)
+            if amp and sel.any():
+                # surface-varying procedural texture (leather grain / weave /
+                # wood rings analog of the ref's node textures)
+                p = points[sel]
+                tex = _value_noise(p[:, 0] + p[:, 2], p[:, 1] - p[:, 2],
+                                   self.texture_seed + i + 1,
+                                   m["tex_scale"])
+                albedo[sel] *= (1.0 + amp * (2 * tex - 1))[:, None].astype(
+                    np.float32)
         if is_table.any():
             f = self.floor
             tex = _value_noise(points[is_table, 0], points[is_table, 1],
@@ -174,7 +225,11 @@ class DomainRandomizer:
             spec[is_table] = f["spec"]
             shin[is_table] = f["shin"]
 
-        rgb = albedo * self.ambient
+        # hemispheric ambient: the sky gradient sampled at the normal
+        if getattr(self, "env", None):
+            rgb = albedo * self.ambient * self.env_color(normals)
+        else:
+            rgb = albedo * self.ambient
         for light in self.lights:
             ldir = light["dir"]
             lam = np.clip(normals @ ldir, 0.0, None)
@@ -190,14 +245,37 @@ class DomainRandomizer:
                 shadow[hit] = s
             diffuse = albedo * (lam * shadow)[:, None]
             rgb = rgb + diffuse * light["color"][None]
-        return np.clip(rgb, 0.0, 1.0), spec, shin, metal
+        return np.clip(rgb, 0.0, 1.0), spec, shin, metal, transmit
+
+
+def _shade_full(scene, pts, n, unit, oid, randomizer):
+    """Blinn-Phong shade + specular highlights for a batch of hits.
+    Returns (rgb, transmit)."""
+    rgb, spec, shin, metal, transmit = randomizer.shade(scene, pts, n, oid)
+    view = -unit
+    for light in randomizer.lights:
+        half = light["dir"][None] + view
+        half /= np.linalg.norm(half, axis=-1, keepdims=True) + 1e-9
+        nh = np.clip(np.sum(n * half, -1), 0.0, None)
+        s = spec * nh ** np.maximum(shin, 1.0)
+        tint = (1 - metal)[:, None] + metal[:, None] * rgb
+        rgb = rgb + (s[:, None] * tint) * light["color"][None]
+    return rgb, transmit
 
 
 def render_scene(scene: PrimScene, pose: np.ndarray, K: np.ndarray,
-                 h: int, w: int, randomizer: Optional[DomainRandomizer] = None
-                 ):
+                 h: int, w: int, randomizer: Optional[DomainRandomizer] = None,
+                 return_normal: bool = False):
     """Render one view. Returns (rgb [h,w,3] in [0,1], z-depth [h,w]
-    (0 = miss), fg_mask [h,w] bool). pose = world->cam [3,4]."""
+    (0 = miss), fg_mask [h,w]) — plus world normals [h,w,3] when
+    return_normal (ref rd/render.py:254-332 Normal pass). pose = world->cam
+    [3,4].
+
+    Glass objects (material class 'glass') get one secondary bounce:
+    Schlick-Fresnel-weighted mirror reflection + tinted straight-through
+    transmission (thin-glass approximation), both traced against the scene
+    with environment fallback — the tracer analog of the reference's Cycles
+    glass BSDF (ref rd/modify_material.py:1490-1598)."""
     ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     pix = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
     Kinv = np.linalg.inv(K)
@@ -222,22 +300,53 @@ def render_scene(scene: PrimScene, pose: np.ndarray, K: np.ndarray,
         base = palette[np.clip(oid, 0, len(palette) - 1)]
         rgb = np.where(hit[:, None], base * lam[:, None], 0.05)
     else:
-        rgb, spec, shin, metal = randomizer.shade(scene, pts, n, oid)
-        # specular highlights with the true view direction
-        view = -unit
-        for light in randomizer.lights:
-            half = light["dir"][None] + view
-            half /= np.linalg.norm(half, axis=-1, keepdims=True) + 1e-9
-            nh = np.clip(np.sum(n * half, -1), 0.0, None)
-            s = spec * nh ** np.maximum(shin, 1.0)
-            tint = (1 - metal)[:, None] + metal[:, None] * rgb
-            rgb = rgb + (s[:, None] * tint) * light["color"][None]
-        rgb = np.clip(np.where(hit[:, None], rgb, 0.05), 0.0, 1.0)
+        rgb, transmit = _shade_full(scene, pts, n, unit, oid, randomizer)
+        has_env = getattr(randomizer, "env", None)
+        miss_rgb = (randomizer.env_color(unit) if has_env
+                    else np.full_like(rgb, 0.05))
+
+        glass = hit & (transmit > 0.0)
+        if glass.any():
+            gi = np.flatnonzero(glass)
+            gn, gd, gp = n[gi], unit[gi], pts[gi]
+            cos = np.clip(-np.sum(gn * gd, -1), 0.0, 1.0)
+            fres = 0.04 + 0.96 * (1.0 - cos) ** 5        # Schlick, ior~1.5
+
+            def bounce(o, d):
+                t2, n2, oid2 = scene.trace(o, d)
+                hit2 = np.isfinite(t2)
+                p2 = o + d * np.where(hit2, t2, 0.0)[:, None]
+                c2, _ = _shade_full(scene, p2, n2, d, oid2, randomizer)
+                env2 = (randomizer.env_color(d) if has_env
+                        else np.full_like(c2, 0.05))
+                return np.where(hit2[:, None], c2, env2)
+
+            refl_d = gd - 2.0 * np.sum(gd * gn, -1, keepdims=True) * gn
+            refl = bounce(gp + gn * 1e-4, refl_d)
+            # thin-glass transmission: continue straight through the body
+            # (re-entry offset past the far surface along the ray)
+            t_exit, _, _ = scene.trace(gp + gd * 1e-4, gd)
+            step = np.where(np.isfinite(t_exit), t_exit + 1e-4, 1e-4)
+            trans = bounce(gp + gd * (step + 1e-4)[:, None], gd)
+            tint = np.stack([randomizer.materials[i]["albedo"]
+                             if 0 <= i < len(randomizer.materials)
+                             else np.ones(3, np.float32)
+                             for i in oid[gi]])
+            glass_rgb = (fres[:, None] * refl
+                         + ((1 - fres) * transmit[gi])[:, None] * tint * trans
+                         + ((1 - fres) * (1 - transmit[gi]))[:, None]
+                         * rgb[gi])
+            rgb[gi] = glass_rgb
+        rgb = np.clip(np.where(hit[:, None], rgb, miss_rgb), 0.0, 1.0)
 
     zdepth = np.where(hit, tt * (unit @ R[2]), 0.0)
     fg = hit & (oid >= 0) & (oid < len(scene.objects))
-    return (rgb.reshape(h, w, 3).astype(np.float32),
-            zdepth.reshape(h, w).astype(np.float32), fg.reshape(h, w))
+    out = (rgb.reshape(h, w, 3).astype(np.float32),
+           zdepth.reshape(h, w).astype(np.float32), fg.reshape(h, w))
+    if return_normal:
+        nm = np.where(hit[:, None], n, 0.0).reshape(h, w, 3)
+        return out + (nm.astype(np.float32),)
+    return out
 
 
 def _default_palette(n: int) -> np.ndarray:
@@ -249,20 +358,23 @@ def render_views_to_dir(scene: PrimScene, poses: np.ndarray, K: np.ndarray,
                         h: int, w: int, outdir: str,
                         randomizer: Optional[DomainRandomizer] = None,
                         frame_ids=None, write_depth: bool = False,
-                        write_mask: bool = False):
+                        write_mask: bool = False,
+                        write_normal: bool = False):
     """Write the reference's file contract (ref rd/render.py:254-332 +
     dataset/database.py:110-111): rgb/%04d.png for each frame id +
-    camera_pose.npy [V,4,4] world->cam for ALL poses."""
+    camera_pose.npy [V,4,4] world->cam for ALL poses; optional depth/mask/
+    normal passes (the reference's DEPTH_EXR / mask / Normal outputs)."""
     from PIL import Image
     os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
-    if write_depth:
-        os.makedirs(os.path.join(outdir, "depth"), exist_ok=True)
-    if write_mask:
-        os.makedirs(os.path.join(outdir, "mask"), exist_ok=True)
+    for flag, sub in ((write_depth, "depth"), (write_mask, "mask"),
+                      (write_normal, "normal")):
+        if flag:
+            os.makedirs(os.path.join(outdir, sub), exist_ok=True)
     frame_ids = (list(range(len(poses))) if frame_ids is None
                  else list(frame_ids))
     for fid in frame_ids:
-        rgb, depth, fg = render_scene(scene, poses[fid], K, h, w, randomizer)
+        rgb, depth, fg, nm = render_scene(scene, poses[fid], K, h, w,
+                                          randomizer, return_normal=True)
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             os.path.join(outdir, "rgb", f"{fid:04d}.png"))
         if write_depth:
@@ -270,6 +382,8 @@ def render_views_to_dir(scene: PrimScene, poses: np.ndarray, K: np.ndarray,
         if write_mask:
             np.save(os.path.join(outdir, "mask", f"{fid:04d}.npy"),
                     fg.astype(np.uint8))
+        if write_normal:
+            np.save(os.path.join(outdir, "normal", f"{fid:04d}.npy"), nm)
     # camera_pose.npy follows the reference contract: cam->world matrices in
     # Blender camera axes (ref dataset/database.py:110-111, the loader
     # computes world->cam = inv(pose @ BLENDER2OPENCV))
