@@ -33,6 +33,14 @@ desktop GPU → 640k TSDF-queries/s (same anchor as rounds 1-2 so vs_baseline
 stays comparable). BASELINE.json's ">=5x rays/s/chip vs A100 PyTorch" target
 is reported as absolute rays/s + step time for roofline checking.
 
+Pallas vs oracle (measured round 4 on this chip): the oracle (flax-module)
+path triggers a pathological XLA:TPU compile blowup at bench scale — a
+BENCH_PALLAS=0 run did not finish COMPILING the two graphs within a 40-min
+timeout (the r3 oracle numbers took ~35 min of compile to obtain once).
+The Pallas view-fuse path compiles in ~25s (volume) + ~45s (render) and is
+therefore the deployable flagship configuration, independent of its runtime
+win; the probe-then-enable logic below picks it whenever it verifies.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 import json

@@ -36,6 +36,8 @@ def renderer_cfg_from(cfg: Dict[str, Any]) -> Dict[str, Any]:
         "use_ray_mask": "use_ray_mask",
         "ray_mask_view_num": "ray_mask_view_num",
         "ray_mask_point_num": "ray_mask_point_num",
+        "compute_dtype": "compute_dtype",
+        "use_pallas": "use_pallas",
     }
     for src, dst in mapping.items():
         if src in cfg:

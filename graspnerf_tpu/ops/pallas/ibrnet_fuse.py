@@ -116,14 +116,18 @@ def _kernel(pin_ref,
             wd0k, wd0b, wd1k, wd1b, wn0k, wn0b, wn1k, wn1b,
             wb0k, wb0b, wb1k, wb1b, wv0k, wv0b, wv1k, wv1b,
             wv20k, wv20b, wv21k, wv21b,
-            o1_ref, o2_ref, *, V: int, dtype):
-    """VMEM-budget-shaped rewrite (round 4): instead of keeping every per-view
-    intermediate live across a fully unrolled V=6 body (~22 MB at tile 2048 —
-    the round-3 scoped-VMEM OOM), the cross-view reductions run as sequential
-    accumulator passes that RECOMPUTE the two tiny per-view MLPs (ray_dir_fc,
-    neuray_fc: 4->16->38 and 32->8->1 matmuls) instead of storing their
-    outputs, and the final mean/var pass re-reads x/vis from the output block.
-    Live set per step: a handful of [tile, <=256-lane] f32 tiles."""
+            o1_ref, o2_ref, *, V: int, T: int, dtype):
+    """Views-flattened kernel (round-4 perf shape): the V=6 source views are
+    folded into the ROW axis, so every MLP layer is ONE [V*T, C] matmul
+    instead of six [T, C] ones — 6x fewer, 6x larger MXU ops (the per-view
+    unrolled variant measured 3.6 ms vs XLA's 1.2 ms for the 40^3 volume
+    workload; tiny matmuls can't occupy the MXU). Cross-view reductions are
+    sums over row slices v*T:(v+1)*T — sublane-aligned, VPU-cheap. Live set:
+    a handful of [V*T, <=256-lane] tensors; fits 16 MB scoped VMEM at T=512.
+
+    All nonlinearities run in f32: Mosaic's bf16 `logistic` and `cmpf`
+    lowerings are broken on v5e (the round-3 on-chip failures), so bf16 is
+    confined to MXU matmul inputs."""
 
     def mm(x, kref, bref):
         y = jax.lax.dot_general(
@@ -131,74 +135,52 @@ def _kernel(pin_ref,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return y + bref[:].astype(jnp.float32)   # stays f32
 
-    def load(v):
-        row = pin_ref[v].astype(jnp.float32)     # [T, 72]
-        rgbf = row[:, :C_RGBF]
-        neur = row[:, C_RGBF:C_RGBF + C_NEUR]
-        rdiff = row[:, C_RGBF + C_NEUR:C_RGBF + C_NEUR + C_DIFF]
-        msk = row[:, C_IN - 1:C_IN]
-        return rgbf, neur, rdiff, msk
+    def vsum_rows(x):
+        """[V*T, C] -> sum over the view groups -> [T, C]."""
+        acc = x[:T]
+        for v in range(1, V):
+            acc = acc + x[v * T:(v + 1) * T]
+        return acc
 
-    def rf_weight_w0(v, msum):
-        """Recomputable per-view quantities (two tiny MLPs)."""
-        rgbf, neur, rdiff, msk = load(v)
-        df = _elu(mm(_elu(mm(rdiff, wd0k, wd0b)), wd1k, wd1b))
-        rf = rgbf + df
-        weight = msk / msum
-        w0 = jax.nn.sigmoid(mm(_elu(mm(neur, wn0k, wn0b)), wn1k, wn1b))
-        return rf, weight, w0 * weight, neur, msk
+    def vtile(x):
+        """[T, C] -> repeat for every view group -> [V*T, C]."""
+        return jnp.concatenate([x] * V, 0)
 
-    # pass 0: mask sum (denominator) + num_valid output (nv must stay exact —
-    # downstream gates compare num_valid < 1 / > 1)
-    nv = 0.0
-    for v in range(V):
-        nv = nv + pin_ref[v, :, C_IN - 1:C_IN].astype(jnp.float32)
-    msum = nv + 1e-8
+    X = pin_ref[:].reshape(V * T, C_IN).astype(jnp.float32)
+    rgbf = X[:, :C_RGBF]
+    neur = X[:, C_RGBF:C_RGBF + C_NEUR]
+    rdiff = X[:, C_RGBF + C_NEUR:C_RGBF + C_NEUR + C_DIFF]
+    msk = X[:, C_IN - 1:C_IN]
 
-    # pass 1: weighted means (both weightings share the recomputed rf)
-    mean0 = mean1 = 0.0
-    for v in range(V):
-        rf, weight, w0, _, _ = rf_weight_w0(v, msum)
-        mean0 = mean0 + rf * w0
-        mean1 = mean1 + rf * weight
-    # pass 2: weighted variances (reference formula, recompute rf)
-    var0 = var1 = 0.0
-    for v in range(V):
-        rf, weight, w0, _, _ = rf_weight_w0(v, msum)
-        var0 = var0 + w0 * (rf - mean0) ** 2
-        var1 = var1 + weight * (rf - mean1) ** 2
+    # nv must stay exact — downstream gates compare num_valid < 1 / > 1
+    nv = vsum_rows(msk)                    # [T,1]
+    inv_msum = vtile(1.0 / (nv + 1e-8))    # [V*T,1]
+    weight = msk * inv_msum
+
+    df = _elu(mm(_elu(mm(rdiff, wd0k, wd0b)), wd1k, wd1b))
+    rf = rgbf + df                          # [V*T,35]
+    w0 = jax.nn.sigmoid(mm(_elu(mm(neur, wn0k, wn0b)), wn1k, wn1b)) * weight
+
+    mean0 = vsum_rows(rf * w0)
+    mean1 = vsum_rows(rf * weight)
+    var0 = vsum_rows(w0 * (rf - vtile(mean0)) ** 2)
+    var1 = vsum_rows(weight * (rf - vtile(mean1)) ** 2)
     gf = jnp.concatenate([mean0, var0, mean1, var1], -1)  # [T,140]
 
-    # pass 3: per-view base/vis MLPs -> write x|vis to the output block,
-    # accumulating the vis-sum denominator
-    vsum = 1e-8
-    for v in range(V):
-        rf, weight, _, neur, msk = rf_weight_w0(v, msum)
-        xin = jnp.concatenate([gf, rf, neur], -1)          # [T,207]
-        x = _elu(mm(_elu(mm(xin, wb0k, wb0b)), wb1k, wb1b))
-        xv = _elu(mm(_elu(mm(x * weight, wv0k, wv0b)), wv1k, wv1b))
-        x = x + xv[:, :C_X]
-        vis = jax.nn.sigmoid(xv[:, C_X:]) * msk
-        vis = jax.nn.sigmoid(
-            mm(_elu(mm(x * vis, wv20k, wv20b)), wv21k, wv21b)) * msk
-        vsum = vsum + vis
-        o2_ref[v] = jnp.concatenate([x, vis], -1).astype(o2_ref.dtype)
+    xin = jnp.concatenate([vtile(gf), rf, neur], -1)      # [V*T,207]
+    x = _elu(mm(_elu(mm(xin, wb0k, wb0b)), wb1k, wb1b))
+    xv = _elu(mm(_elu(mm(x * weight, wv0k, wv0b)), wv1k, wv1b))
+    x = x + xv[:, :C_X]
+    vis = jax.nn.sigmoid(xv[:, C_X:]) * msk
+    vis = jax.nn.sigmoid(
+        mm(_elu(mm(x * vis, wv20k, wv20b)), wv21k, wv21b)) * msk
+    o2_ref[:] = jnp.concatenate([x, vis], -1).reshape(
+        V, T, C_O2).astype(o2_ref.dtype)
 
-    # passes 4/5: final vis-weighted mean/var over views, re-reading x|vis
-    # from the output block (VMEM-resident, free)
-    mean = 0.0
-    wmean = 0.0
-    for v in range(V):
-        row = o2_ref[v].astype(jnp.float32)
-        w2 = row[:, C_X:] / vsum
-        mean = mean + row[:, :C_X] * w2
-        wmean = wmean + w2
-    var = 0.0
-    for v in range(V):
-        row = o2_ref[v].astype(jnp.float32)
-        w2 = row[:, C_X:] / vsum
-        var = var + w2 * (row[:, :C_X] - mean) ** 2
-
+    w2 = vis * vtile(1.0 / (vsum_rows(vis) + 1e-8))
+    mean = vsum_rows(x * w2)
+    wmean = vsum_rows(w2)
+    var = vsum_rows(w2 * (x - vtile(mean)) ** 2)
     o1_ref[:] = jnp.concatenate([mean, var, wmean / V, nv], -1)
 
 
@@ -224,7 +206,7 @@ def _view_fuse_pallas(rgbf, neur, rdiff, mask, weights, dtype,
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_w]
 
     o1, o2 = pl.pallas_call(
-        functools.partial(_kernel, V=V, dtype=dtype),
+        functools.partial(_kernel, V=V, T=tile, dtype=dtype),
         grid=(nt,),
         in_specs=in_specs,
         out_specs=(
@@ -235,7 +217,8 @@ def _view_fuse_pallas(rgbf, neur, rdiff, mask, weights, dtype,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Np, C_O1), jnp.float32),
-            jax.ShapeDtypeStruct((V, Np, C_O2), jnp.float32),
+            # x|vis in the compute dtype (halves the VMEM block in bf16)
+            jax.ShapeDtypeStruct((V, Np, C_O2), dtype),
         ),
     )(pin, *flat_w)
     fc = o1[:N, :C_OUT].astype(dtype)

@@ -45,6 +45,10 @@ def main():
                    help="prefetch worker threads (0 = synchronous)")
     p.add_argument("--compute-dtype", default=None,
                    choices=[None, "float32", "bfloat16"])
+    p.add_argument("--use-pallas", action="store_true",
+                   help="enable the Pallas view-fuse kernel (verified-on-TPU "
+                        "path; forward = kernel, backward = recompute "
+                        "through the jnp reference)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -67,6 +71,8 @@ def main():
     n_rays = args.rays or ycfg.get("ray_num", 512)
     if args.compute_dtype:
         rcfg["compute_dtype"] = args.compute_dtype
+    if args.use_pallas:
+        rcfg["use_pallas"] = True
 
     if args.small:
         args.height = args.width = 64
