@@ -152,3 +152,46 @@ def discover_scenes(root: str, scene_types=("pile", "packed"),
         if base.exists():
             out += [str(p) for p in sorted(base.iterdir()) if p.is_dir()]
     return out
+
+
+# ------------------------------------------------- name-string registry
+# The reference addresses scenes by a slash-joined database name
+# "vgn_syn/<split>/<scene_type>/<scene_split>/<scene_id>/<bg>_<scale>"
+# (ref database.py:57-76 GraspSynDatabase.__init__, :297-305
+# parse_database_name). Its registry ships only the vgn_syn family (all
+# other types raise NotImplementedError); the same holds here.
+name2database = {"vgn_syn": VGNSynDatabase}
+
+
+def parse_database_name(database_name: str, train_root: str = "",
+                        test_root: str = "", sdf_root: str = None,
+                        grasp_root: str = None) -> VGNSynDatabase:
+    """`vgn_syn/train/pile/train/scene_0001/w_0.8` -> VGNSynDatabase.
+
+    train_root/test_root point at the dataset roots (the reference hardcodes
+    VGN_TRAIN_ROOT / VGN_TEST_ROOT in asset.py); the final component carries
+    the image scale (`w_0.8` -> 0.8)."""
+    parts = database_name.split("/")
+    if len(parts) != 6:
+        raise ValueError(f"bad database name {database_name!r}")
+    tp, split, scene_type, scene_split, scene_id, bg_size = parts
+    if tp not in name2database:
+        raise NotImplementedError(tp)
+    scale = float(bg_size.split("_")[1])
+    root = train_root if split == "train" else test_root
+    scene_dir = os.path.join(root, scene_type, scene_split, scene_id)
+    sdf = os.path.join(sdf_root, f"{scene_id}.npz") if sdf_root else None
+    csv = os.path.join(grasp_root, f"{scene_id}.csv") if grasp_root else None
+    return name2database[tp](scene_dir, sdf, csv, scale=scale)
+
+
+def get_database_split(database: VGNSynDatabase, split_type: str = "val"):
+    """Per-scene view split (ref database.py:307-327): val views are
+    img_ids[2:24:8] (test additionally holds out view 0); train views are
+    the rest."""
+    ids = list(range(len(database)))
+    val_ids = ids[2:24:8]
+    if split_type.startswith("test"):
+        val_ids = val_ids + [0]
+    train_ids = [i for i in ids if i not in val_ids]
+    return train_ids, val_ids

@@ -154,3 +154,46 @@ def test_replayed_scene_trains(replay_root):
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total"]))
     assert np.isfinite(float(metrics["loss_vgn"]))
+
+
+def test_database_name_registry(data_root):
+    """parse_database_name + get_database_split (ref database.py:57-76,
+    297-327)."""
+    from graspnerf_tpu.data.database import (parse_database_name,
+                                             get_database_split)
+    from graspnerf_tpu.data import discover_scenes
+    sid = discover_scenes(str(data_root))[0].split("/")[-1]
+    db = parse_database_name(f"vgn_syn/train/pile/train/{sid}/w_0.15",
+                             train_root=str(data_root))
+    assert db.scale == 0.15
+    assert db.get_image(0).shape[-1] == 3
+    train_ids, val_ids = get_database_split(db, "val")
+    assert val_ids == [2, 10, 18]
+    assert set(train_ids) | set(val_ids) == set(range(len(db)))
+    _, test_val = get_database_split(db, "test")
+    assert test_val == [2, 10, 18, 0]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        parse_database_name("gso_syn/train/pile/train/x/w_0.8")
+
+
+def test_view_select_nearest():
+    """Distance-ranked view selection (ref utils/view_select.py:5-34)."""
+    from graspnerf_tpu.data.view_select import (camera_centers,
+                                                compute_nearest_camera_indices,
+                                                select_working_views)
+    from graspnerf_tpu.data.synthetic import hemisphere_poses
+    poses = hemisphere_poses()
+    c = camera_centers(poses)
+    np.testing.assert_allclose(
+        np.linalg.norm(c - np.array([0, 0, 0.1]), axis=-1), 0.5, atol=1e-4)
+    idx = compute_nearest_camera_indices(poses)
+    assert (idx[:, 0] == np.arange(len(poses))).all()  # self is nearest
+    sel = select_working_views(poses, poses, 3, exclude_self=True)
+    assert sel.shape == (len(poses), 3)
+    assert (sel != np.arange(len(poses))[:, None]).all()
+    # hemisphere layout (6 azimuths x 4 elevation rows, id stride 6 per
+    # row): elevation rows are 10 deg apart vs 60 deg between azimuths, so a
+    # mid-ring view's two nearest neighbors are the same azimuth one row
+    # up/down: ids 8 +- 6
+    assert set(sel[8][:2]) == {2, 14}
