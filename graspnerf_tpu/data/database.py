@@ -30,11 +30,19 @@ TOTAL_VIEWS = 24
 
 
 def _read_exr(path: str) -> np.ndarray:
-    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
-    import cv2
-    img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
-    if img is None:
-        raise FileNotFoundError(path)
+    """Reference contract EXR (depth/mask) → [H,W] float32. Decoded by the
+    in-tree numpy reader (data/exr.py — this environment has no EXR-capable
+    cv2/imageio); a cv2 build with EXR support is used as fallback if the
+    file uses an unsupported compression."""
+    try:
+        from .exr import read_exr
+        img = read_exr(path)
+    except Exception:
+        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+        import cv2
+        img = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+        if img is None:
+            raise FileNotFoundError(path)
     return img[..., 0] if img.ndim == 3 else img
 
 
@@ -130,14 +138,23 @@ class VGNSynDatabase:
         rows = list(_csv.DictReader(open(self.grasp_csv)))
         idx, labels, rots, widths = [], [], [], []
         for r in rows:
-            pos = np.array([float(r["x"]), float(r["y"]), float(r["z"])])
-            idx.append(np.clip(np.round(pos / voxel), 0, 39).astype(np.int32))
+            if "i" in r:  # reference schema: voxel indices + width in voxels
+                # (ref database.py:278-294 round(i,j,k), width read verbatim)
+                pos = np.array([float(r["i"]), float(r["j"]), float(r["k"])])
+                idx.append(np.clip(np.round(pos), 0, 39).astype(np.int32))
+                widths.append(float(r["width"]))
+            else:  # legacy x,y,z-in-meters schema; floor — positions written
+                # as voxel centers (idx+0.5)*voxel sit exactly on round()'s
+                # half-voxel boundary, which shifted ~half the labels to idx+1
+                pos = np.array([float(r["x"]), float(r["y"]), float(r["z"])])
+                idx.append(np.clip(np.floor(pos / voxel), 0,
+                                   39).astype(np.int32))
+                widths.append(float(r["width"]) / voxel)
             labels.append(float(r["label"]))
             q = np.array([float(r["qx"]), float(r["qy"]), float(r["qz"]),
                           float(r["qw"])])
             qz = np.array([0.0, 0.0, 1.0, 0.0])  # rot_z(pi), gripper symmetry
             rots.append(np.stack([q, Q.quat_multiply(q, qz)]))
-            widths.append(float(r["width"]) / voxel)
         return (np.stack(idx), np.asarray(labels, np.float32),
                 np.stack(rots).astype(np.float32),
                 np.asarray(widths, np.float32))

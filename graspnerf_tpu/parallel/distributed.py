@@ -59,6 +59,16 @@ def host_local_batch_to_global(mesh: Mesh, batch, scene_axis: bool = True,
         lead = (DATA_AXIS,) if scene_axis else ()
         if scene_axis and (x.ndim == 0 or x.shape[0] % max(
                 n_data // jax.process_count(), 1) != 0):
+            # Scalars replicate (every host passes identical values). But a
+            # non-divisible scene axis must NOT silently replicate: per-host
+            # batches differ by construction, so multi-process replication
+            # would assemble an array whose shards disagree across hosts.
+            if x.ndim > 0 and jax.process_count() > 1:
+                raise ValueError(
+                    f"{name}: leading scene axis {x.shape[0]} is not "
+                    f"divisible by the per-process data-axis share "
+                    f"({n_data}//{jax.process_count()}); pad the host-local "
+                    "batch instead of replicating divergent data")
             spec = P()
         elif name in ray_keys:
             spec = P(*lead, None, SPACE_AXIS)

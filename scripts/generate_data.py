@@ -2,8 +2,9 @@
 
 Renders scenes to the vgn_syn file contract consumed by
 graspnerf_tpu.data.VGNSynDataset (and by the reference's own loader):
-rgb/%04d.png, depth/%04d.exr (written as .npy fallback when EXR is
-unavailable), camera_pose.npy, GT TSDF npz, grasps.csv.
+rgb/%04d.png, depth/%04d.exr + mask/%04d.exr (standard scanline EXR via
+data/exr.py), camera_pose.npy, GT TSDF npz, grasps.csv (reference i,j,k
+voxel-index schema).
 
 Two scene sources:
   * procedural primitives (default) — self-contained synthetic scenes;
@@ -95,6 +96,7 @@ def main():
     from graspnerf_tpu.data.synthetic import (Scene, hemisphere_poses,
                                               SyntheticSceneDataset, BBOX_MIN)
     from graspnerf_tpu.data.database import BLENDER2OPENCV
+    from graspnerf_tpu.data.exr import write_exr
     from graspnerf_tpu.ops.tsdf import integrate_tsdf, VOLUME_SIZE
 
     rng = np.random.RandomState(args.seed)
@@ -155,8 +157,12 @@ def main():
             rgb, depth, fg = render(pose)
             Image.fromarray((rgb * 255).astype(np.uint8)).save(
                 sdir / "rgb" / ("%04d.png" % i))
-            np.save(sdir / "depth" / ("%04d.npy" % i), depth)
-            np.save(sdir / "mask" / ("%04d.npy" % i), fg)
+            # reference byte contract: depth/mask as EXR
+            # (ref dataset/database.py:129-198; data/exr.py writer)
+            write_exr(str(sdir / "depth" / ("%04d.exr" % i)),
+                      depth.astype(np.float32))
+            write_exr(str(sdir / "mask" / ("%04d.exr" % i)),
+                      fg.astype(np.float32))
             ext = np.eye(4, dtype=np.float32)
             ext[:3, :] = pose
             # store cam→world in Blender axes so the loader's inverse matches
@@ -183,13 +189,18 @@ def main():
             ds = SyntheticSceneDataset(seed=args.seed + s)
             idx, label, rot, width_vox = ds._grasp_labels(
                 tsdf.astype(np.float32), rng)
+        # Reference grasps.csv schema: voxel-index columns i,j,k + width in
+        # voxels, read back verbatim by the loader (ref database.py:278-294
+        # reads i,j,k and width with no unit conversion). Writing indices
+        # directly (not center-of-voxel meters) avoids the half-voxel
+        # rounding boundary that shifted ~half the labels one voxel.
         with open(grasp_dir / f"{sid}.csv", "w") as f:
-            f.write("scene_id,qx,qy,qz,qw,x,y,z,width,label\n")
+            f.write("scene_id,qx,qy,qz,qw,i,j,k,width,label\n")
             for j in range(len(label)):
-                x, y, z = (idx[j].astype(np.float64) + 0.5) * voxel
+                gi, gj, gk = idx[j].astype(np.int64)
                 qx, qy, qz, qw = rot[j, 0]
-                f.write(f"{sid},{qx},{qy},{qz},{qw},{x},{y},{z},"
-                        f"{width_vox[j] * voxel},{int(label[j])}\n")
+                f.write(f"{sid},{qx},{qy},{qz},{qw},{gi},{gj},{gk},"
+                        f"{width_vox[j]},{int(label[j])}\n")
         print(f"[generate] {sid}: "
               f"{len(sim.scene) if sim is not None else args.objects} "
               f"objects, {int(label.sum())} positive grasps")

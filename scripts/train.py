@@ -28,6 +28,8 @@ def main():
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--val-interval", type=int, default=None)
     p.add_argument("--save-interval", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=None,
+                   help="metrics cadence (steps); 1 = per-step diagnostics")
     p.add_argument("--height", type=int, default=288)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--rays", type=int, default=None)
@@ -110,6 +112,11 @@ def main():
                                  grasp_root=args.grasp_dir, n_rays=n_rays,
                                  seed=seed, scenes=scenes)
 
+        if not val_scenes:
+            print("WARNING: no held-out val scenes (single train scene, no "
+                  "on-disk val split) — validating ON THE TRAINING SCENE; "
+                  "val metrics will not measure generalization",
+                  file=sys.stderr)
         val_ds = factory(args.seed + 777_777,
                          scenes=val_scenes or train_scenes)
     else:
@@ -140,12 +147,15 @@ def main():
     cls = name2network[ycfg.get("network", "grasp_nerf")]
     model = cls(renderer_cfg=rcfg)
 
+    extra = {}
+    if args.log_every is not None:
+        extra["log_every"] = args.log_every
     trainer = Trainer(model, train_iter, val_batches=val,
                       workdir=args.workdir,
                       save_interval=args.save_interval, seed=args.seed,
                       mesh=mesh, scene_batch=True,
                       val_image_dir=str(Path(args.workdir) / "vis_val"),
-                      **tcfg)
+                      **tcfg, **extra)
     trainer.run()
 
 

@@ -130,6 +130,13 @@ def test_replayed_scene_generates_giga_contract(replay_root):
     # executed labels: quaternions normalized, widths inside gripper range
     np.testing.assert_allclose(np.linalg.norm(rot, axis=-1), 1.0, atol=1e-5)
     assert (width >= 0).all() and (width <= 0.081 / (0.3 / 40)).all()
+    # round-trip: the voxel indices the generator wrote come back verbatim
+    # (the old meters schema shifted ~half the labels one voxel via round())
+    import csv
+    rows = list(csv.DictReader(open(replay_root / "grasps" / "scene_a.csv")))
+    written = np.array([[int(r["i"]), int(r["j"]), int(r["k"])]
+                        for r in rows])
+    np.testing.assert_array_equal(idx, written)
 
 
 def test_replayed_scene_trains(replay_root):
