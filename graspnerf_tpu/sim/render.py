@@ -58,6 +58,109 @@ _CLASS_PARAMS = {
 _CLASS_TEXTURE = {"leather": (0.25, 220.0), "fabric": (0.3, 420.0),
                   "wood": (0.2, 60.0), "clay": (0.12, 90.0)}
 
+# material classes that may bind an IMAGE texture instead of closed-form noise
+# (the reference maps ImageNet crops / real floor+table photos onto objects —
+# ref rd/render.py:20-110,169-213); images come from the committed equirect/
+# texture bank (assets/) or, when present, real images in $GRASPNERF_TEX_DIR
+_IMAGE_TEXTURE_CLASSES = ("wood", "fabric", "paper", "leather", "paint")
+
+
+class EnvMap:
+    """Equirectangular environment image with bilinear direction lookup —
+    the image-based analog of the reference's HDRI world lighting
+    (ref rd/render_utils.py env-map setup; rd/render.py:20-110)."""
+
+    def __init__(self, img: np.ndarray, strength: float = 1.0):
+        self.img = np.asarray(img, np.float32)  # [H, W, 3], equirect
+        self.strength = float(strength)
+
+    def sample(self, dirs: np.ndarray) -> np.ndarray:
+        d = dirs / (np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-9)
+        H, W, _ = self.img.shape
+        u = (np.arctan2(d[..., 1], d[..., 0]) / (2 * np.pi) + 0.5) * W - 0.5
+        v = (0.5 - np.arcsin(np.clip(d[..., 2], -1, 1)) / np.pi) * H - 0.5
+        u0 = np.floor(u).astype(np.int64)
+        v0 = np.floor(v).astype(np.int64)
+        fu, fv = (u - u0)[..., None], (v - v0)[..., None]
+        u0 %= W
+        u1 = (u0 + 1) % W                       # azimuth wraps
+        v0c = np.clip(v0, 0, H - 1)
+        v1c = np.clip(v0 + 1, 0, H - 1)         # poles clamp
+        im = self.img
+        out = (im[v0c, u0] * (1 - fv) * (1 - fu) + im[v0c, u1] * (1 - fv) * fu
+               + im[v1c, u0] * fv * (1 - fu) + im[v1c, u1] * fv * fu)
+        return (out * self.strength).astype(np.float32)
+
+
+def _assets_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets")
+
+
+_ENV_BANK: list = []
+_TEX_BANK: list = []
+
+
+def load_env_bank() -> list:
+    """Committed equirect env maps (assets/envmaps/*.npz, key 'img') plus any
+    user HDRIs in $GRASPNERF_HDRI_DIR (png/npy equirects)."""
+    global _ENV_BANK
+    if _ENV_BANK:
+        return _ENV_BANK
+    bank = []
+    d = os.path.join(_assets_dir(), "envmaps")
+    if os.path.isdir(d):
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".npz"):
+                bank.append(np.load(os.path.join(d, f))["img"]
+                            .astype(np.float32))
+    ext_dir = os.environ.get("GRASPNERF_HDRI_DIR")
+    if ext_dir and os.path.isdir(ext_dir):
+        from PIL import Image
+        for f in sorted(os.listdir(ext_dir)):
+            p = os.path.join(ext_dir, f)
+            if f.endswith(".npy"):
+                bank.append(np.load(p).astype(np.float32))
+            elif f.lower().endswith((".png", ".jpg", ".jpeg")):
+                bank.append(np.asarray(Image.open(p), np.float32) / 255.0)
+    _ENV_BANK = bank
+    return bank
+
+
+def load_texture_bank() -> list:
+    """Committed albedo texture images (assets/textures/*.png) plus any real
+    images in $GRASPNERF_TEX_DIR — the ImageNet-texture analog."""
+    global _TEX_BANK
+    if _TEX_BANK:
+        return _TEX_BANK
+    from PIL import Image
+    bank = []
+    for d in (os.path.join(_assets_dir(), "textures"),
+              os.environ.get("GRASPNERF_TEX_DIR") or ""):
+        if d and os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.lower().endswith((".png", ".jpg", ".jpeg")):
+                    bank.append(np.asarray(
+                        Image.open(os.path.join(d, f)).convert("RGB"),
+                        np.float32) / 255.0)
+    _TEX_BANK = bank
+    return bank
+
+
+def _sample_texture_img(img: np.ndarray, x: np.ndarray, y: np.ndarray,
+                        scale: float) -> np.ndarray:
+    """Planar-projected (world xy → uv, wrapping) bilinear image lookup."""
+    H, W, _ = img.shape
+    u = (x * scale) % 1.0 * (W - 1)
+    v = (y * scale) % 1.0 * (H - 1)
+    u0 = np.floor(u).astype(np.int64)
+    v0 = np.floor(v).astype(np.int64)
+    fu, fv = (u - u0)[..., None], (v - v0)[..., None]
+    u1 = np.minimum(u0 + 1, W - 1)
+    v1 = np.minimum(v0 + 1, H - 1)
+    return (img[v0, u0] * (1 - fv) * (1 - fu) + img[v0, u1] * (1 - fv) * fu
+            + img[v1, u0] * fv * (1 - fu) + img[v1, u1] * fv * fu)
+
 
 def _value_noise(x: np.ndarray, y: np.ndarray, seed: int, scale: float
                  ) -> np.ndarray:
@@ -100,7 +203,7 @@ class DomainRandomizer:
             # near-white transmission tint, occasional colored glass
             albedo = np.clip(albedo + rng.uniform(0.0, 0.3), 0.0, 1.0)
         tex_amp, tex_scale = _CLASS_TEXTURE.get(cls, (0.0, 1.0))
-        return {
+        mat = {
             "class": cls, "albedo": albedo,
             "spec": spec * rng.uniform(0.7, 1.3),
             "shin": shin * rng.uniform(0.7, 1.3),
@@ -110,6 +213,14 @@ class DomainRandomizer:
             "tex_amp": tex_amp * rng.uniform(0.6, 1.4) if tex_amp else 0.0,
             "tex_scale": tex_scale,
         }
+        # image-based albedo (ref binds ImageNet crops to objects,
+        # rd/render.py:169-213): planar-projected texture image modulates
+        # the sampled base color
+        bank = load_texture_bank()
+        if bank and cls in _IMAGE_TEXTURE_CLASSES and rng.rand() < 0.5:
+            mat["tex_img"] = int(rng.randint(0, len(bank)))
+            mat["tex_img_scale"] = float(rng.uniform(4.0, 30.0))
+        return mat
 
     def init_scene(self, scene: PrimScene):
         """Sample materials for every object + the table and the light rig.
@@ -159,11 +270,28 @@ class DomainRandomizer:
             "zenith": base_z.astype(np.float32),
             "strength": float(rng.uniform(0.6, 1.2)),
         }
+        # image-based env lighting: sample one of the committed equirect maps
+        # (assets/envmaps; ref HDRI world lighting rd/render.py:20-110) for
+        # most scenes, keep the analytic sky gradient for the rest
+        env_bank = load_env_bank()
+        self.env_map = None
+        if env_bank and rng.rand() < 0.7:
+            img = env_bank[rng.randint(0, len(env_bank))]
+            self.env_map = EnvMap(img, strength=float(rng.uniform(0.6, 1.3)))
+        # floor can bind an image texture too (ref real floor/table photos,
+        # rd/render.py:215-234)
+        tex_bank = load_texture_bank()
+        if tex_bank and rng.rand() < 0.5:
+            self.floor["tex_img"] = int(rng.randint(0, len(tex_bank)))
+            self.floor["tex_img_scale"] = float(rng.uniform(2.0, 12.0))
         return self
 
     def env_color(self, dirs: np.ndarray) -> np.ndarray:
-        """Sky color for world directions [N,3]: horizon->zenith gradient,
+        """Environment radiance for world directions [N,3]: the scene's
+        equirect image map when bound, else the horizon->zenith gradient
         dimmed below the horizon."""
+        if getattr(self, "env_map", None) is not None:
+            return self.env_map.sample(dirs)
         z = np.clip(dirs[..., 2:3], -1.0, 1.0)
         t = 0.5 * (z + 1.0)
         c = (self.env["horizon"][None] * (1 - t) + self.env["zenith"][None] * t)
@@ -206,7 +334,16 @@ class DomainRandomizer:
             metal[sel] = m["metal"]
             transmit[sel] = m.get("transmit", 0.0)
             amp = m.get("tex_amp", 0.0)
-            if amp and sel.any():
+            if sel.any() and m.get("tex_img") is not None:
+                # image-based albedo: planar-projected texture image
+                p = points[sel]
+                img = load_texture_bank()[m["tex_img"]]
+                tex = _sample_texture_img(img, p[:, 0] + 0.3 * p[:, 2],
+                                          p[:, 1] - 0.3 * p[:, 2],
+                                          m["tex_img_scale"])
+                albedo[sel] = (0.35 * albedo[sel] + 0.65 * albedo[sel] * tex
+                               * 2.0).astype(np.float32)
+            elif amp and sel.any():
                 # surface-varying procedural texture (leather grain / weave /
                 # wood rings analog of the ref's node textures)
                 p = points[sel]
@@ -217,11 +354,19 @@ class DomainRandomizer:
                     np.float32)
         if is_table.any():
             f = self.floor
-            tex = _value_noise(points[is_table, 0], points[is_table, 1],
-                               self.texture_seed, f["tex_scale"])
-            tex = 1.0 + f["tex_amp"] * (2 * tex - 1)
-            albedo[is_table] = f["albedo"][None] * tex[:, None].astype(
-                np.float32)
+            if f.get("tex_img") is not None:
+                img = load_texture_bank()[f["tex_img"]]
+                tex3 = _sample_texture_img(img, points[is_table, 0],
+                                           points[is_table, 1],
+                                           f["tex_img_scale"])
+                albedo[is_table] = (f["albedo"][None] * tex3 * 2.0).astype(
+                    np.float32)
+            else:
+                tex = _value_noise(points[is_table, 0], points[is_table, 1],
+                                   self.texture_seed, f["tex_scale"])
+                tex = 1.0 + f["tex_amp"] * (2 * tex - 1)
+                albedo[is_table] = f["albedo"][None] * tex[:, None].astype(
+                    np.float32)
             spec[is_table] = f["spec"]
             shin[is_table] = f["shin"]
 
@@ -349,6 +494,71 @@ def render_scene(scene: PrimScene, pose: np.ndarray, K: np.ndarray,
     return out
 
 
+def render_ir_stereo(scene: PrimScene, pose: np.ndarray, K: np.ndarray,
+                     h: int, w: int,
+                     randomizer: Optional[DomainRandomizer] = None,
+                     baseline: float = 0.055):
+    """Active IR stereo pair (ref rd/render.py:254-332 stereo branch +
+    data_generator/render_pile_STD_rand.py IR option): two grayscale views
+    from cameras offset ±baseline/2 along the camera x axis, lit by a
+    dot-speckle projector co-located with the center camera plus a faint
+    ambient term. Returns (ir_left [h,w], ir_right [h,w]) in [0,1].
+
+    pose = world->cam [3,4] of the CENTER (RGB) camera; the projector sits at
+    its optical center, so the speckle pattern is fixed in the center-camera
+    image plane — the geometry real RGB-D sensors have."""
+    R, t = pose[:3, :3], pose[:3, 3]
+    proj_eye = (-R.T @ t).astype(np.float32)
+    seed = randomizer.texture_seed if randomizer is not None else 1234
+
+    out = []
+    for side in (-1.0, 1.0):
+        p = pose.copy()
+        p[:3, 3] = t - np.array([side * baseline / 2, 0.0, 0.0], np.float32)
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        pix = np.stack([xs, ys, np.ones_like(xs)], -1).reshape(-1, 3)
+        cam_dirs = pix @ np.linalg.inv(K).T
+        world_dirs = cam_dirs @ p[:3, :3]
+        unit = (world_dirs
+                / np.linalg.norm(world_dirs, axis=-1, keepdims=True)
+                ).astype(np.float32)
+        eye = (-p[:3, :3].T @ p[:3, 3]).astype(np.float32)
+        origins = np.broadcast_to(eye, unit.shape)
+        tt, n, oid = scene.trace(origins, unit)
+        hit = np.isfinite(tt)
+        pts = origins + unit * np.where(hit, tt, 0.0)[:, None]
+
+        # reflectivity ~ luma of the diffuse albedo
+        if randomizer is not None:
+            alb, _, _, _, _ = randomizer.shade(scene, pts, n, oid)
+            refl = alb @ np.array([0.299, 0.587, 0.114], np.float32)
+        else:
+            refl = np.full(len(pts), 0.5, np.float32)
+
+        # projector: speckle keyed to the CENTER camera pixel of each point
+        to_proj = proj_eye[None] - pts
+        dist = np.linalg.norm(to_proj, axis=-1)
+        ldir = to_proj / (dist[:, None] + 1e-9)
+        lam = np.clip(np.sum(n * ldir, -1), 0.0, None)
+        cam_pts = pts @ R.T + t[None]
+        z = np.maximum(cam_pts[:, 2], 1e-6)
+        uv = (cam_pts @ K.T) / z[:, None]
+        speck = _value_noise(uv[:, 0] / w, uv[:, 1] / h, seed, 180.0)
+        dots = (speck > 0.72).astype(np.float32)
+        # projector shadow: occlusion between surface point and projector
+        vis = np.ones(len(pts), np.float32)
+        if hit.any():
+            hi = np.flatnonzero(hit)
+            t2, _, _ = scene.trace(pts[hi] + n[hi] * 1e-4, ldir[hi])
+            vis[hi] = np.where(np.isfinite(t2) & (t2 < dist[hi] - 1e-3),
+                               0.0, 1.0)
+        ir = refl * (0.12 + 2.2 * dots * lam * vis
+                     / np.maximum(dist, 0.2) ** 2 * 0.25)
+        ir = np.where(hit, ir, 0.02)
+        out.append(np.clip(ir, 0.0, 1.0).reshape(h, w).astype(np.float32))
+    return out[0], out[1]
+
+
 def _default_palette(n: int) -> np.ndarray:
     rng = np.random.RandomState(7)
     return rng.uniform(0.2, 0.9, (max(n, 1), 3)).astype(np.float32)
@@ -359,7 +569,8 @@ def render_views_to_dir(scene: PrimScene, poses: np.ndarray, K: np.ndarray,
                         randomizer: Optional[DomainRandomizer] = None,
                         frame_ids=None, write_depth: bool = False,
                         write_mask: bool = False,
-                        write_normal: bool = False):
+                        write_normal: bool = False,
+                        write_ir: bool = False, ir_baseline: float = 0.055):
     """Write the reference's file contract (ref rd/render.py:254-332 +
     dataset/database.py:110-111): rgb/%04d.png for each frame id +
     camera_pose.npy [V,4,4] world->cam for ALL poses; optional depth/mask/
@@ -367,23 +578,32 @@ def render_views_to_dir(scene: PrimScene, poses: np.ndarray, K: np.ndarray,
     from PIL import Image
     os.makedirs(os.path.join(outdir, "rgb"), exist_ok=True)
     for flag, sub in ((write_depth, "depth"), (write_mask, "mask"),
-                      (write_normal, "normal")):
+                      (write_normal, "normal"), (write_ir, "ir_l"),
+                      (write_ir, "ir_r")):
         if flag:
             os.makedirs(os.path.join(outdir, sub), exist_ok=True)
     frame_ids = (list(range(len(poses))) if frame_ids is None
                  else list(frame_ids))
+    from ..data.exr import write_exr
     for fid in frame_ids:
         rgb, depth, fg, nm = render_scene(scene, poses[fid], K, h, w,
                                           randomizer, return_normal=True)
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             os.path.join(outdir, "rgb", f"{fid:04d}.png"))
-        if write_depth:
-            np.save(os.path.join(outdir, "depth", f"{fid:04d}.npy"), depth)
+        if write_depth:  # reference DEPTH_EXR pass (rd/render_utils.py:585)
+            write_exr(os.path.join(outdir, "depth", f"{fid:04d}.exr"),
+                      depth.astype(np.float32))
         if write_mask:
-            np.save(os.path.join(outdir, "mask", f"{fid:04d}.npy"),
-                    fg.astype(np.uint8))
+            write_exr(os.path.join(outdir, "mask", f"{fid:04d}.exr"),
+                      fg.astype(np.float32))
         if write_normal:
             np.save(os.path.join(outdir, "normal", f"{fid:04d}.npy"), nm)
+        if write_ir:  # active-IR stereo pair (ref stereo/IR render branch)
+            irl, irr = render_ir_stereo(scene, poses[fid], K, h, w,
+                                        randomizer, ir_baseline)
+            for name, im in (("ir_l", irl), ("ir_r", irr)):
+                Image.fromarray((im * 255).astype(np.uint8)).save(
+                    os.path.join(outdir, name, f"{fid:04d}.png"))
     # camera_pose.npy follows the reference contract: cam->world matrices in
     # Blender camera axes (ref dataset/database.py:110-111, the loader
     # computes world->cam = inv(pose @ BLENDER2OPENCV))
