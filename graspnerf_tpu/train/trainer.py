@@ -121,7 +121,20 @@ def make_train_step(model: GraspNeRF, out_sharding=None,
     def step_fn(state: TrainState, batch, key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, key)
-        state = state.apply_gradients(grads=grads)
+        # Finiteness guard: a single non-finite gradient (bf16 overflow, a
+        # degenerate CDF ray, ...) must not poison the parameters — skip the
+        # update and surface it in metrics instead (the r4 full-scale run
+        # NaN'd every param by step 50 with no trace of when).
+        finite = jnp.all(jnp.asarray(
+            [jnp.all(jnp.isfinite(g))
+             for g in jax.tree_util.tree_leaves(grads)]))
+        new_state = state.apply_gradients(grads=grads)
+        merged = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o),
+            (new_state.params, new_state.opt_state),
+            (state.params, state.opt_state))
+        state = new_state.replace(params=merged[0], opt_state=merged[1])
+        metrics["nonfinite_grad"] = 1.0 - finite.astype(jnp.float32)
         return state, metrics
 
     kw = {} if out_sharding is None else {"out_shardings": out_sharding}
@@ -282,6 +295,30 @@ class Trainer:
             n_scenes = 1
             n_rays = batch["data"]["que"]["coords"].shape[1]
             res = batch["sdf_gt"].shape[-1]
+        # One run-config line so every metrics.jsonl is reproducible from its
+        # own log (the r4 proof recorded neither dtype nor mesh nor pallas).
+        rcfg = getattr(self.model, "renderer_cfg", None) or {}
+        sha = None
+        try:
+            import subprocess
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+                text=True, timeout=5).stdout.strip() or None
+        except Exception:
+            pass
+        self._log({"run_config": True, "git_sha": sha,
+                   "jax": jax.__version__,
+                   "backend": jax.default_backend(),
+                   "n_devices": jax.device_count(),
+                   "mesh": (dict(self.mesh.shape) if self.mesh is not None
+                            else None),
+                   "compute_dtype": rcfg.get("compute_dtype", "float32"),
+                   "use_pallas": bool(rcfg.get("use_pallas", False)),
+                   "scene_batch": self.scene_batch,
+                   "n_scenes": n_scenes, "n_rays": n_rays, "volume_res": res,
+                   "img_hw": list(batch["data"]["ref"]["imgs"].shape[-3:-1]),
+                   "start_step": start_step, "seed_key": "PRNGKey",
+                   "total_steps": steps})
         metrics = None
         t0 = time.perf_counter()
         self._pop_data_wait()

@@ -48,6 +48,33 @@ def test_train_step_learns(model_and_state):
     assert total < first, (first, total)
 
 
+def test_nonfinite_grad_skips_update(model_and_state):
+    """A batch that produces non-finite gradients must leave params and opt
+    state untouched and set the nonfinite_grad metric, instead of poisoning
+    the parameters (the r4 full-scale run NaN'd every param silently)."""
+    model, state, batch = model_and_state
+    state = jax.tree_util.tree_map(jnp.copy, state)
+    step = make_train_step(model)
+    bad = jax.tree_util.tree_map(jnp.copy, batch)
+    bad["data"]["ref"]["imgs"] = bad["data"]["ref"]["imgs"] * jnp.nan
+    params_before = jax.tree_util.tree_map(np.asarray, state.params)
+    state2, metrics = step(state, bad, jax.random.PRNGKey(0))
+    assert float(metrics["nonfinite_grad"]) == 1.0
+    after = jax.tree_util.tree_map(np.asarray, state2.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, params_before,
+                           after)
+    # and a good batch still trains (guard lets finite steps through)
+    state3, metrics = step(state2, jax.tree_util.tree_map(jnp.copy, batch),
+                           jax.random.PRNGKey(1))
+    assert float(metrics["nonfinite_grad"]) == 0.0
+    changed = jax.tree_util.tree_reduce(
+        lambda a, b: a or b,
+        jax.tree_util.tree_map(
+            lambda x, y: bool(np.any(np.asarray(x) != np.asarray(y))),
+            after, jax.tree_util.tree_map(np.asarray, state3.params)))
+    assert changed
+
+
 def test_exp_decay_lr():
     s = exp_decay_lr(1e-4, 100_000, 0.5, 1e-5)
     assert float(s(0)) == pytest.approx(1e-4)
