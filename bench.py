@@ -33,13 +33,15 @@ desktop GPU → 640k TSDF-queries/s (same anchor as rounds 1-2 so vs_baseline
 stays comparable). BASELINE.json's ">=5x rays/s/chip vs A100 PyTorch" target
 is reported as absolute rays/s + step time for roofline checking.
 
-Pallas vs oracle (measured round 4 on this chip): the oracle (flax-module)
-path triggers a pathological XLA:TPU compile blowup at bench scale — a
-BENCH_PALLAS=0 run did not finish COMPILING the two graphs within a 40-min
-timeout (the r3 oracle numbers took ~35 min of compile to obtain once).
-The Pallas view-fuse path compiles in ~25s (volume) + ~45s (render) and is
-therefore the deployable flagship configuration, independent of its runtime
-win; the probe-then-enable logic below picks it whenever it verifies.
+Pallas vs oracle (re-measured round 5 on this chip): the round-4 "compile
+blowup" on the oracle path does NOT reproduce — a 7-variant bisect
+(scripts/_bisect_compile.py) compiled every oracle variant in 18-27 s, and a
+BENCH_PALLAS=0 run completes end-to-end (volume 23.9 ms / render 107.5 ms vs
+the kernel path's 29.2/156.9). The r4 stall was evidently the un-jitted
+model.init + input staging over the axon tunnel being misattributed to
+compilation. The oracle is therefore the flagship configuration; the Pallas
+view-fuse kernel remains opt-in (BENCH_PALLAS=1) until it beats XLA on its
+region (r4 measurement: kernel 3.7 ms vs XLA 1.2 ms for the 40^3 workload).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -96,11 +98,45 @@ def _compile(step, *args):
     return c, dt, flops
 
 
-def probe_pallas(dtype=jnp.bfloat16, n=8192, tol=3e-2):
+def _probe_cache_key():
+    """Probe result cache key: kernel source hash + backend. The probe costs
+    ~6 min of driver budget (r4: 356 s, mostly un-jitted init dispatches over
+    the tunnel); the result only changes when the kernel source or the
+    backend does, so cache it (VERDICT r4 weak #6)."""
+    import hashlib
+    import os
+    src = os.path.join(os.path.dirname(__file__),
+                       "graspnerf_tpu/ops/pallas/ibrnet_fuse.py")
+    h = hashlib.sha256(open(src, "rb").read()).hexdigest()[:16]
+    return f"{jax.default_backend()}-{jax.devices()[0].device_kind}-{h}"
+
+
+def probe_pallas_cached(cache_path="/root/repo/.pallas_probe_cache"):
+    import json as _json
+    key = _probe_cache_key()
+    try:
+        cached = _json.load(open(cache_path))
+        if cached.get("key") == key:
+            return cached["ok"], cached["detail"] + " [cached]"
+    except Exception:
+        pass
+    ok, detail = probe_pallas()
+    try:
+        with open(cache_path, "w") as f:
+            _json.dump({"key": key, "ok": ok, "detail": detail}, f)
+    except Exception:
+        pass
+    return ok, detail
+
+
+def probe_pallas(dtype=jnp.bfloat16, n=8192, tol=1.5e-2):
     """Compile + run + parity-check the Pallas view-fuse kernel on the LIVE
     backend before enabling it anywhere. A kernel that cannot pass this probe
     must never gate the flagship path (round-3 lesson: the un-gated kernel
-    took down planner, trainer and bench on TPU). Returns (ok, detail)."""
+    took down planner, trainer and bench on TPU). Returns (ok, detail).
+
+    tol: observed bf16 err on-chip is ~7e-3 (r4); 1.5e-2 leaves 2x headroom
+    without hiding real regressions (the old 3e-2 would)."""
     t0 = time.perf_counter()
     try:
         from graspnerf_tpu.ops.pallas.ibrnet_fuse import (
@@ -204,18 +240,18 @@ def bench_render(ref, n_rays=4096, use_pallas=False):
 
 
 def main():
-    # Probe the Pallas kernel on this backend first; it gates NOTHING — the
-    # oracle path is always the fallback, so a broken kernel degrades perf
-    # instead of taking the product down (round-3 postmortem).
-    # BENCH_PALLAS=0/1 overrides the probe (for A/B runs).
+    # Flagship = oracle (XLA) path — measured faster than the Pallas kernel
+    # config on this chip (see module docstring). BENCH_PALLAS=1 opts into
+    # the kernel (probe-verified first); BENCH_PALLAS=probe runs the probe
+    # and deploys the kernel only if it passes (the r3/r4 behavior).
     import os
     force = os.environ.get("BENCH_PALLAS")
-    if force == "0":
-        pallas_ok, pallas_detail = False, "off (BENCH_PALLAS=0)"
-    elif force == "1":
+    if force == "1":
         pallas_ok, pallas_detail = True, "on (BENCH_PALLAS=1)"
+    elif force == "probe":
+        pallas_ok, pallas_detail = probe_pallas_cached()
     else:
-        pallas_ok, pallas_detail = probe_pallas()
+        pallas_ok, pallas_detail = False, "off (oracle flagship; r5 default)"
     ref = build_ref()
 
     vol_dt, vol_flops, vol_cs = bench_volume(ref, use_pallas=pallas_ok)

@@ -154,7 +154,11 @@ def sample_fine_depth(depth, hit_prob, depth_range, fdn: int, key=None):
     else:
         u = jax.random.uniform(key, (*cdf.shape[:-1], fdn))
 
-    inds = jax.vmap(jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right")))(cdf, u)
+    # searchsorted(side="right") == count of cdf entries <= u; the broadcast
+    # compare+reduce runs on the VPU in one fused pass (the double-vmapped
+    # jnp.searchsorted lowered to a slow per-ray sort-based scan on TPU)
+    inds = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
+                   -1)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
     cdf_b = jnp.take_along_axis(cdf, below, -1)
