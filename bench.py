@@ -159,8 +159,8 @@ def probe_pallas(dtype=jnp.bfloat16, n=8192, tol=1.5e-2):
         out = jax.jit(lambda *a: view_fuse(*a, dtype=dtype))(
             rgbf, neur, diff, mask, weights)
         out = [np.asarray(o, np.float32) for o in out]
-        ref = view_fuse_reference(rgbf, neur, diff, mask, weights,
-                                  jnp.float32)
+        ref = jax.jit(lambda *a: view_fuse_reference(*a, jnp.float32))(
+            rgbf, neur, diff, mask, weights)
         ref = [np.asarray(o, np.float32) for o in ref]
         err = max(float(np.max(np.abs(a - b))) for a, b in zip(out, ref))
         if not np.isfinite(err) or err > tol:
@@ -194,8 +194,11 @@ def bench_volume(ref, use_pallas=False):
                                     "use_depth_loss": False,
                                     "compute_dtype": "bfloat16",
                                     "use_pallas": use_pallas})
-    params = model.init(jax.random.PRNGKey(0), {"ref": ref},
-                        train=False)["params"]
+    # jitted init: eager flax init costs minutes of per-op dispatch
+    # round-trips over the axon tunnel
+    params = jax.jit(lambda k, r: model.init(k, {"ref": r},
+                                             train=False)["params"])(
+        jax.random.PRNGKey(0), ref)
 
     def step(params, ref, feedback):
         r = dict(ref)
@@ -223,7 +226,8 @@ def bench_render(ref, n_rays=4096, use_pallas=False):
            "poses": ref["poses"][:1], "Ks": ref["Ks"][:1],
            "depth_range": ref["depth_range"][:1]}
     data = {"ref": ref, "que": que}
-    params = model.init(jax.random.PRNGKey(0), data, train=False)["params"]
+    params = jax.jit(lambda k, d: model.init(k, d, train=False)["params"])(
+        jax.random.PRNGKey(0), data)
 
     def step(params, data, feedback):
         d = dict(data)

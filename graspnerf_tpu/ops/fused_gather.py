@@ -34,6 +34,8 @@ single fused map makes one gather do the work of three.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -74,18 +76,26 @@ def _window_gather(packed: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray):
     return jax.vmap(one)(packed, starts)
 
 
-def fused_epipolar_gather(packed: jnp.ndarray, xy: jnp.ndarray,
-                          valid: jnp.ndarray, h: int, w: int):
-    """Sample rgb + img_feats + ray_feats at xy with one windowed gather.
+def _anchors(xy, h: int, w: int, fh: int, fw: int):
+    """Clipped (2,2)-window anchor cells for full-res coords xy [V,P,2]."""
+    xn = xy[..., 0] / (w - 1) * 2 - 1
+    yn = xy[..., 1] / (h - 1) * 2 - 1
+    xq = ((xn + 1.0) * fw - 1.0) * 0.5
+    yq = ((yn + 1.0) * fh - 1.0) * 0.5
+    sx = jnp.clip(jnp.floor(xq).astype(jnp.int32), 0, fw - 2)
+    sy = jnp.clip(jnp.floor(yq).astype(jnp.int32), 0, fh - 2)
+    return sy, sx
 
-    packed [V,fh,fw,48+2C] from pack_feature_maps; xy [V,P,2] continuous
-    full-resolution pixel coords; valid [V,P] bool/float mask; (h, w) the
-    full-res extent the coords live in (== 4*fh, 4*fw here).
 
-    Returns (rgb [V,P,3], img_f [V,P,C], ray_f [V,P,C]) — identical values to
-    interpolate_feature_map(imgs/img_feats/ray_feats, xy, valid, h, w).
+def _interp_from_win(win: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
+                     h: int, w: int, fh: int, fw: int):
+    """Bilinear interpolation given the gathered (2,2,Ctot) windows.
+
+    Split out of the gather so the backward can differentiate it w.r.t.
+    (win, xy, valid) with a plain jax.vjp — the a.e. grid-sample gradient —
+    while the window SPLAT uses the matmul path (see _splat_windows).
     """
-    V, fh, fw, Ctot = packed.shape
+    Ctot = win.shape[-1]
     Cf = (Ctot - 48) // 2
     x = xy[..., 0]
     y = xy[..., 1]
@@ -105,8 +115,6 @@ def fused_epipolar_gather(packed: jnp.ndarray, xy: jnp.ndarray,
     y0qi = y0q.astype(jnp.int32)
     sx = jnp.clip(x0qi, 0, fw - 2)
     sy = jnp.clip(y0qi, 0, fh - 2)
-
-    win = _window_gather(packed, sy, sx)  # [V,P,2,2,Ctot]
 
     # ---- feature maps: fold the border-clamped taps into per-cell weights -
     # The 4 bilinear taps live at window offsets (oy∈{0,1}, ox∈{0,1}); the
@@ -165,3 +173,96 @@ def fused_epipolar_gather(packed: jnp.ndarray, xy: jnp.ndarray,
 
     m = valid[..., None].astype(feat.dtype)
     return rgb * m, img_f * m, ray_f * m
+
+
+def _splat_windows(d_win: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
+                   fh: int, fw: int, chunk: int = 4096) -> jnp.ndarray:
+    """Transpose of _window_gather: accumulate (2,2,C) window grads into the
+    map — WITHOUT lax.scatter-add, which XLA:TPU executes as a serial
+    per-update loop (measured 1.6 s for the 40^3 workload's 384k windows,
+    ~4.2 us/update — it was the entire training-step cost). Instead each
+    point-chunk contributes through a one-hot cell matrix contracted on the
+    MXU; f32 accumulation, bf16 operands (one-hot entries are exact).
+
+    d_win [V,P,2,2,C], anchors sy/sx [V,P] → [V,fh,fw,C] float32.
+    """
+    V, P, _, _, C = d_win.shape
+    N = fh * fw
+    pad = (-P) % chunk
+    if pad:
+        d_win = jnp.pad(d_win, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        # padded points: anchor 0 with zero grads — contribute nothing
+        sy = jnp.pad(sy, ((0, 0), (0, pad)))
+        sx = jnp.pad(sx, ((0, 0), (0, pad)))
+    nc = (P + pad) // chunk
+    # fold the 2x2 taps into the point axis: tap (oy,ox) of point p targets
+    # cell (sy+oy)*fw + (sx+ox)
+    cell = sy * fw + sx                                   # [V,P']
+    offs = jnp.asarray([0, 1, fw, fw + 1], jnp.int32)     # (oy,ox) raveled
+    cells4 = cell[:, :, None] + offs[None, None]          # [V,P',4]
+    dw4 = d_win.reshape(V, P + pad, 4, C)
+    cells4 = cells4.reshape(V, nc, chunk * 4)
+    dw4 = dw4.reshape(V, nc, chunk * 4, C)
+
+    ids = jnp.arange(N, dtype=jnp.int32)
+
+    def body(acc, args):
+        cid, dwc = args                                   # [V,c4], [V,c4,C]
+        # f32 operands: a one-hot contraction in f32 is EXACT (it only
+        # reorders the sum of f32 grads), so the custom backward matches the
+        # scatter-add gradient to reassociation rounding
+        onehot = (cid[..., None] == ids).astype(jnp.float32)
+        acc = acc + jnp.einsum(
+            "vpn,vpc->vnc", onehot, dwc.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((V, N, C), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0,
+                          (cells4.transpose(1, 0, 2),
+                           dw4.transpose(1, 0, 2, 3)))
+    return acc.reshape(V, fh, fw, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_epipolar_gather(packed: jnp.ndarray, xy: jnp.ndarray,
+                          valid: jnp.ndarray, h: int, w: int):
+    """Sample rgb + img_feats + ray_feats at xy with one windowed gather.
+
+    packed [V,fh,fw,48+2C] from pack_feature_maps; xy [V,P,2] continuous
+    full-resolution pixel coords; valid [V,P] bool/float mask; (h, w) the
+    full-res extent the coords live in (== 4*fh, 4*fw here).
+
+    Returns (rgb [V,P,3], img_f [V,P,C], ray_f [V,P,C]) — identical values to
+    interpolate_feature_map(imgs/img_feats/ray_feats, xy, valid, h, w).
+
+    custom_vjp: the backward re-gathers the windows, takes the grid-sample
+    a.e. gradient of the interpolation via jax.vjp, and splats window grads
+    with _splat_windows (MXU one-hot matmuls) instead of XLA's serialized
+    scatter-add (40x faster on the training step).
+    """
+    V, fh, fw, _ = packed.shape
+    sy, sx = _anchors(xy, h, w, fh, fw)
+    win = _window_gather(packed, sy, sx)
+    return _interp_from_win(win, xy, valid, h, w, fh, fw)
+
+
+def _feg_fwd(packed, xy, valid, h, w):
+    out = fused_epipolar_gather(packed, xy, valid, h, w)
+    return out, (packed, xy, valid)
+
+
+def _feg_bwd(h, w, res, g):
+    packed, xy, valid = res
+    V, fh, fw, _ = packed.shape
+    sy, sx = _anchors(xy, h, w, fh, fw)
+    win = _window_gather(packed, sy, sx)
+    _, vjp = jax.vjp(
+        lambda wn, xyv, vv: _interp_from_win(wn, xyv, vv, h, w, fh, fw),
+        win, xy, valid)
+    d_win, d_xy, d_valid = vjp(g)
+    d_packed = _splat_windows(d_win, sy, sx, fh, fw)
+    return d_packed.astype(packed.dtype), d_xy, d_valid
+
+
+fused_epipolar_gather.defvjp(_feg_fwd, _feg_bwd)

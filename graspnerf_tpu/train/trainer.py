@@ -103,24 +103,42 @@ def create_train_state(model: GraspNeRF, example_batch, key,
     ex = example_batch
     if scene_batch:
         ex = jax.tree_util.tree_map(lambda x: x[0], example_batch)
-    params = model.init(key, ex["data"], train=True,
-                        key=jax.random.PRNGKey(0))["params"]
+    # jit the init: an eager flax init dispatches every op separately, which
+    # costs minutes over the axon tunnel (~24 ms per dispatch round-trip)
+    params = jax.jit(
+        lambda k, data: model.init(k, data, train=True,
+                                   key=jax.random.PRNGKey(0))["params"]
+    )(key, ex["data"])
     tx = optax.adam(exp_decay_lr(**(lr_cfg or {})))
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
 def make_train_step(model: GraspNeRF, out_sharding=None,
                     scene_batch: bool = False,
-                    spmd_axis: Optional[str] = None):
+                    spmd_axis: Optional[str] = None,
+                    unpack_metas=None):
     """out_sharding: optional sharding (e.g. replicated NamedSharding) applied
     to the step outputs — pins XLA's auto-propagated output shardings to
-    something expressible on the mesh."""
+    something expressible on the mesh.
+
+    unpack_metas: when given, the step takes a PACKED uint8 batch buffer
+    (data/packed.py) instead of a tree, decodes it inside the jit, splits its
+    own PRNG key, and returns (state, metrics, next_key) — the whole step is
+    then ONE host→device transfer and ONE dispatch (the axon tunnel charges
+    ~150-220 ms per transfer, so a 12-leaf tree costs ~2 s/step without this).
+    """
     loss_fn = (make_batched_loss_fn(model, spmd_axis) if scene_batch
                else make_loss_fn(model))
 
     def step_fn(state: TrainState, batch, key):
+        if unpack_metas is not None:
+            from ..data.packed import unpack_batch
+            key, sub = jax.random.split(key)
+            batch = unpack_batch(batch, unpack_metas)
+        else:
+            sub = key
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key)
+            state.params, batch, sub)
         # Finiteness guard: a single non-finite gradient (bf16 overflow, a
         # degenerate CDF ray, ...) must not poison the parameters — skip the
         # update and surface it in metrics instead (the r4 full-scale run
@@ -135,6 +153,8 @@ def make_train_step(model: GraspNeRF, out_sharding=None,
             (state.params, state.opt_state))
         state = new_state.replace(params=merged[0], opt_state=merged[1])
         metrics["nonfinite_grad"] = 1.0 - finite.astype(jnp.float32)
+        if unpack_metas is not None:
+            return state, metrics, key
         return state, metrics
 
     kw = {} if out_sharding is None else {"out_shardings": out_sharding}
@@ -262,9 +282,20 @@ class Trainer:
 
     # ----------------------------------------------------------------- run
     def run(self, max_steps: Optional[int] = None):
-        batch = self._to_device(next(self.train_iter))
-        state = create_train_state(self.model, batch, self.rng, self.lr_cfg,
-                                   scene_batch=self.scene_batch)
+        host_batch = next(self.train_iter)
+        # packed single-transfer path (see data/packed.py): host tree →
+        # one uint8 buffer per step, decoded inside the jitted step. Only
+        # for unsharded runs — the mesh path shards per-leaf.
+        use_packed = self.mesh is None
+        if use_packed:
+            from ..data.packed import pack_batch
+            buf_np, metas = pack_batch(host_batch)
+            batch = jnp.asarray(buf_np)
+        else:
+            batch = self._to_device(host_batch)
+        state = create_train_state(self.model, jax.tree_util.tree_map(
+            np.asarray, host_batch), self.rng, self.lr_cfg,
+            scene_batch=self.scene_batch)
         best = np.inf
         restored = self.ckpt.restore(
             {"params": state.params, "opt_state": state.opt_state})
@@ -285,16 +316,18 @@ class Trainer:
             state = jax.device_put(state, rep)
         train_step = make_train_step(self.model, out_sharding=out_sharding,
                                      scene_batch=self.scene_batch,
-                                     spmd_axis=spmd_axis)
+                                     spmd_axis=spmd_axis,
+                                     unpack_metas=(metas if use_packed
+                                                   else None))
         steps = max_steps or self.total_steps
         if self.scene_batch:
-            n_scenes = batch["sdf_gt"].shape[0]
-            n_rays = batch["data"]["que"]["coords"].shape[2]
-            res = batch["sdf_gt"].shape[-1]
+            n_scenes = host_batch["sdf_gt"].shape[0]
+            n_rays = host_batch["data"]["que"]["coords"].shape[2]
+            res = host_batch["sdf_gt"].shape[-1]
         else:
             n_scenes = 1
-            n_rays = batch["data"]["que"]["coords"].shape[1]
-            res = batch["sdf_gt"].shape[-1]
+            n_rays = host_batch["data"]["que"]["coords"].shape[1]
+            res = host_batch["sdf_gt"].shape[-1]
         # One run-config line so every metrics.jsonl is reproducible from its
         # own log (the r4 proof recorded neither dtype nor mesh nor pallas).
         rcfg = getattr(self.model, "renderer_cfg", None) or {}
@@ -316,18 +349,31 @@ class Trainer:
                    "use_pallas": bool(rcfg.get("use_pallas", False)),
                    "scene_batch": self.scene_batch,
                    "n_scenes": n_scenes, "n_rays": n_rays, "volume_res": res,
-                   "img_hw": list(batch["data"]["ref"]["imgs"].shape[-3:-1]),
+                   "img_hw": list(
+                       host_batch["data"]["ref"]["imgs"].shape[-3:-1]),
+                   "packed_transfer": use_packed,
                    "start_step": start_step, "seed_key": "PRNGKey",
                    "total_steps": steps})
         metrics = None
         t0 = time.perf_counter()
         self._pop_data_wait()
+        key = self.rng
         for step in range(start_step, steps):
-            self.rng, k = jax.random.split(self.rng)
-            state, metrics = train_step(state, batch, k)
-            # fetch + transfer the next batch while the device executes
-            # (dispatch above is async; prefetch workers fill the queue)
-            batch = self._to_device(next(self.train_iter))
+            if use_packed:
+                # one transfer + one dispatch; the step splits its own key
+                state, metrics, key = train_step(state, batch, key)
+                nxt, _ = pack_batch(next(self.train_iter))
+                if nxt.shape != batch.shape:
+                    raise ValueError(
+                        f"packed batch size changed {batch.shape} -> "
+                        f"{nxt.shape}; batches must keep static shapes")
+                batch = jnp.asarray(nxt)
+            else:
+                self.rng, k = jax.random.split(self.rng)
+                state, metrics = train_step(state, batch, k)
+                # fetch + transfer the next batch while the device executes
+                # (dispatch above is async; prefetch workers fill the queue)
+                batch = self._to_device(next(self.train_iter))
             if (step + 1) % self.log_every == 0:
                 jax.block_until_ready(metrics)
                 sec = (time.perf_counter() - t0) / self.log_every

@@ -114,3 +114,46 @@ def test_project_to_views_packed_equals_oracle(rng):
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    rtol=0, atol=1e-6, err_msg=k)
+
+
+def test_custom_vjp_matches_oracle_grads(rng):
+    """The gather's custom backward (windows re-gather + MXU one-hot splat,
+    replacing XLA's serialized scatter-add) must reproduce the oracle
+    three-gather path's gradients w.r.t. every input."""
+    import jax
+    import jax.numpy as jnp
+    from graspnerf_tpu.ops.fused_gather import (pack_feature_maps,
+                                                fused_epipolar_gather)
+    from graspnerf_tpu.ops.interpolate import interpolate_feature_map
+
+    V, H, W, Cf, P = 2, 32, 48, 4, 257
+    imgs = jnp.asarray(rng.rand(V, H, W, 3).astype(np.float32))
+    imf = jnp.asarray(rng.rand(V, H // 4, W // 4, Cf).astype(np.float32))
+    rayf = jnp.asarray(rng.rand(V, H // 4, W // 4, Cf).astype(np.float32))
+    xy = jnp.asarray((rng.rand(V, P, 2) * np.array([W + 8, H + 8]) - 4)
+                     .astype(np.float32))
+    valid = jnp.asarray((rng.rand(V, P) > 0.15).astype(np.float32))
+    g_rgb = jnp.asarray(rng.randn(V, P, 3).astype(np.float32))
+    g_if = jnp.asarray(rng.randn(V, P, Cf).astype(np.float32))
+    g_rf = jnp.asarray(rng.randn(V, P, Cf).astype(np.float32))
+
+    def loss_fused(imgs, imf, rayf, xy, valid):
+        packed = pack_feature_maps(imgs, imf, rayf)
+        rgb, a, b = fused_epipolar_gather(packed, xy, valid, H, W)
+        return (jnp.sum(rgb * g_rgb) + jnp.sum(a * g_if)
+                + jnp.sum(b * g_rf))
+
+    def loss_oracle(imgs, imf, rayf, xy, valid):
+        b = interpolate_feature_map(rayf, xy, valid, H, W)
+        rgb = interpolate_feature_map(imgs, xy, valid, H, W)
+        a = interpolate_feature_map(imf, xy, valid, H, W)
+        return (jnp.sum(rgb * g_rgb) + jnp.sum(a * g_if)
+                + jnp.sum(b * g_rf))
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4)))(
+        imgs, imf, rayf, xy, valid)
+    go = jax.jit(jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4)))(
+        imgs, imf, rayf, xy, valid)
+    for a, b in zip(gf, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-5)
