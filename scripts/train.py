@@ -55,8 +55,10 @@ def main():
     args = p.parse_args()
 
     import jax
+    # repo-level persistent cache: workdir-scoped caches made every new run
+    # pay the full ~6 min train-step compile again
     jax.config.update("jax_compilation_cache_dir",
-                      str(Path(args.workdir) / ".jax_cache"))
+                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
     from graspnerf_tpu.config import (load_cfg, renderer_cfg_from,
                                       trainer_cfg_from)
     from graspnerf_tpu.data import SyntheticSceneDataset
