@@ -80,7 +80,12 @@ def main():
     p.add_argument("--asset-root", default="",
                    help="root for relative URDF paths in descriptors")
     p.add_argument("--grasp-candidates", type=int, default=40,
-                   help="executed grasp candidates per replayed scene")
+                   help="executed grasp candidates per simulated scene")
+    p.add_argument("--executed-labels", action="store_true",
+                   help="procedural scenes: build them in ClutterRemovalSim "
+                        "and label grasps by physical execution (like the "
+                        "descriptor-replay path) instead of the geometric "
+                        "heuristic")
     p.add_argument("--cpu", action="store_true",
                    help="pin jax to CPU (the only jax use is the small TSDF "
                         "integration; avoids depending on an accelerator "
@@ -133,17 +138,25 @@ def main():
         (sdir / "depth").mkdir(exist_ok=True)
         (sdir / "mask").mkdir(exist_ok=True)
 
-        if desc is None:
+        if desc is None and not args.executed_labels:
             scene = Scene(rng, args.objects)
             render = lambda pose: scene.render(pose, K, args.height,
                                                args.width)
             sim = None
         else:
+            # simulated scene (descriptor replay OR procedural sim.reset):
+            # grasp labels come from PHYSICALLY EXECUTING candidates in this
+            # same world — the supervision the campaign sim actually tests
+            # (heuristic labels trained a planner to 2% SR in the r5
+            # campaign; executed labels are the GIGA labeling process)
             from graspnerf_tpu.sim.simulation import ClutterRemovalSim
             from graspnerf_tpu.sim.render import DomainRandomizer
             sim = ClutterRemovalSim(args.scene_type,
                                     rng=np.random.RandomState(args.seed + s))
-            sim.reset_from_mesh_pose_list(str(desc), args.asset_root)
+            if desc is None:
+                sim.reset(args.objects)
+            else:
+                sim.reset_from_mesh_pose_list(str(desc), args.asset_root)
             randomizer = DomainRandomizer(np.random.RandomState(args.seed + s))
             randomizer.init_scene(sim.scene)
             render = lambda pose: sim.observe(pose, K, args.height,
