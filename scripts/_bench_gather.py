@@ -196,3 +196,63 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def precombined(packed, xy, valid, h, w):
+    """ONE flat row gather from a 4-tap-precombined map: Pc[cell] holds the
+    (y,x),(y,x+1),(y+1,x),(y+1,x+1) cells concatenated (edge-clamped), so a
+    point needs a single dynamic row fetch instead of a (2,2) window."""
+    V, fh, fw, C = packed.shape
+    p_x = jnp.concatenate([packed[:, :, 1:], packed[:, :, -1:]], 2)
+    p_y = jnp.concatenate([packed[:, 1:], packed[:, -1:]], 1)
+    p_xy = jnp.concatenate([p_y[:, :, 1:], p_y[:, :, -1:]], 2)
+    pc = jnp.concatenate([packed, p_x, p_y, p_xy], -1).reshape(
+        V, fh * fw, 4 * C)
+
+    x = xy[..., 0]
+    y = xy[..., 1]
+    xn = x / (w - 1) * 2 - 1
+    yn = y / (h - 1) * 2 - 1
+    xq = ((xn + 1.0) * fw - 1.0) * 0.5
+    yq = ((yn + 1.0) * fh - 1.0) * 0.5
+    x0q = jnp.floor(xq)
+    y0q = jnp.floor(yq)
+    wxq = xq - x0q
+    wyq = yq - y0q
+    x0i = jnp.clip(x0q.astype(jnp.int32), 0, fw - 1)
+    y0i = jnp.clip(y0q.astype(jnp.int32), 0, fh - 1)
+    idx = y0i * fw + x0i
+    rows = jnp.take_along_axis(pc, idx[..., None], axis=1)  # [V,P,4C]
+    win = rows.reshape(V, -1, 2, 2, C).astype(jnp.float32)
+    w00 = ((1 - wyq) * (1 - wxq))[..., None]
+    w01 = ((1 - wyq) * wxq)[..., None]
+    w10 = (wyq * (1 - wxq))[..., None]
+    w11 = (wyq * wxq)[..., None]
+    feat = (win[:, :, 0, 0] * w00 + win[:, :, 0, 1] * w01
+            + win[:, :, 1, 0] * w10 + win[:, :, 1, 1] * w11)
+    return feat * valid[..., None]
+
+
+def main2():
+    for P in (64000, 4096 * 80):
+        imgs, imf, rayf, xy, valid = make_inputs(P)
+        packed = jax.jit(pack_feature_maps)(imgs, imf, rayf)
+        packed_bf = packed.astype(jnp.bfloat16)
+        print(f"== P = {P}", flush=True)
+
+        def t(name, fn, *args):
+            c = jax.jit(fn).lower(*args, jnp.float32(0.0)).compile()
+            dt = slope_time(c, *args)
+            print(f"{name:16s} {dt*1e3:8.2f} ms", flush=True)
+
+        def f_pre(packed, xy, valid, fb):
+            out = precombined(packed, xy + 1e-6 * fb, valid, H, W)
+            return jnp.mean(out).astype(jnp.float32)
+        t("precomb", f_pre, packed, xy, valid)
+        t("precomb_bf16", f_pre, packed_bf, xy, valid)
+
+        def f_fused(packed, xy, valid, fb):
+            rgb, a, b = fused_epipolar_gather(
+                packed, xy + 1e-6 * fb, valid, H, W)
+            return reduce_out(rgb, a, b).astype(jnp.float32)
+        t("fused112", f_fused, packed, xy, valid)
