@@ -60,10 +60,11 @@ class GraspNeRFPlanner:
         self.seed = seed
 
         # Two-stage jit: per-scene view encoding, then volume query + grasp
-        # head + on-device post-processing. Besides matching the serving shape
-        # (one encode, many queries), the split keeps each XLA program small —
-        # the fused encoder+gather graph triggers a pathological XLA:TPU
-        # compile-time blowup (minutes vs seconds) at 288x512.
+        # head + on-device post-processing — matching the serving shape
+        # (encode once per scene, query per planning call). (A round-4 note
+        # blamed a compile blowup on the fused graph; round 5 established the
+        # single graph also compiles in ~25 s — the split stays for the
+        # serving-shape reason only.)
         def _encode(params, imgs):
             return self.model.apply(
                 {"params": params}, {"imgs": imgs},
