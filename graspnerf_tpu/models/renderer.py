@@ -229,7 +229,8 @@ class NeuralRayRenderer(nn.Module):
         que_pts = self._shard_rays(que_pts)
 
         if packed is None:
-            packed = pack_feature_maps(ref["imgs"], img_feats, ray_feats)
+            packed = pack_feature_maps(ref["imgs"], img_feats, ray_feats,
+                                       jnp.dtype(self.compute_dtype))
         prj = project_to_views(ref, que_pts, img_feats, ray_feats, packed)
         prj = self._predict_ray_prob(self.dist_decoder, prj,
                                      ref["depth_range"], None)
@@ -268,7 +269,8 @@ class NeuralRayRenderer(nn.Module):
                  key: Optional[jax.Array] = None):
         ref, que = data["ref"], data.get("que")
         img_feats, ray_feats = self.encode_views(ref)
-        packed = pack_feature_maps(ref["imgs"], img_feats, ray_feats)
+        packed = pack_feature_maps(ref["imgs"], img_feats, ray_feats,
+                                   jnp.dtype(self.compute_dtype))
 
         out = {}
         if self.render_rgb and que is not None:

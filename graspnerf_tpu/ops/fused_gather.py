@@ -41,22 +41,27 @@ import jax.numpy as jnp
 
 
 def pack_feature_maps(imgs: jnp.ndarray, img_feats: jnp.ndarray,
-                      ray_feats: jnp.ndarray) -> jnp.ndarray:
+                      ray_feats: jnp.ndarray,
+                      dtype=jnp.float32) -> jnp.ndarray:
     """Pack full-res RGB (4x4 space-to-depth) + both quarter-res feature maps.
 
     imgs [V,H,W,3] (H,W % 4 == 0), img_feats/ray_feats [V,H/4,W/4,C] →
-    packed [V,H/4,W/4, 48+2C] float32. Space-to-depth channel layout:
+    packed [V,H/4,W/4, 48+2C] in `dtype`. Space-to-depth channel layout:
     c = (dy*4 + dx)*3 + rgb for the (dy,dx) full-res pixel of the cell.
+
+    dtype: the gather is fetch-bound but bf16 windows still measure ~8%
+    faster than f32 (scripts/_bench_gather.py); interpolation weights stay
+    f32 regardless (see _interp_from_win — bf16 windows promote to f32 at
+    the weighted sum).
     """
     V, H, W, _ = imgs.shape
     fh, fw = img_feats.shape[1], img_feats.shape[2]
     if H != 4 * fh or W != 4 * fw:
         raise ValueError(f"imgs {H}x{W} not 4x the feature map {fh}x{fw}")
     s2d = imgs.reshape(V, fh, 4, fw, 4, 3).transpose(0, 1, 3, 2, 4, 5)
-    s2d = s2d.reshape(V, fh, fw, 48).astype(jnp.float32)
+    s2d = s2d.reshape(V, fh, fw, 48).astype(dtype)
     return jnp.concatenate(
-        [s2d, img_feats.astype(jnp.float32), ray_feats.astype(jnp.float32)],
-        -1)
+        [s2d, img_feats.astype(dtype), ray_feats.astype(dtype)], -1)
 
 
 def _window_gather(packed: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray):
